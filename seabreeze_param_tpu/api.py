@@ -1,0 +1,123 @@
+"""Drop-in public API mirroring ``seabreezediag.diag``.
+
+The reference's user-facing entry point is
+``python_wrapper/seabreezediag/__init__.py:91-263``:
+
+    tt, sb_con, thc, ws, wd = diag(tt, lsm, z, std, lon, lat, pres,
+                                   u, v, t, ci, **kwargs)
+
+This module reproduces that contract — same positional order, same keyword
+names and defaults, same returns, same state-threading and warning behavior —
+on top of the jitted scan pipeline.  A user of the reference can switch
+imports and keep their driver.
+
+Differences by design (documented, not silent):
+  * no ``c2f`` layout round-trips — arrays are (…, nlat, nlon) C-order end
+    to end (the converter survives in ``utils.layout`` for interop tests);
+  * the returned ``thc`` is, as in the reference, the *sea-level
+    temperature* t0 (the out[1] quirk, ``__init__.py:244`` — see
+    ``core.state``);
+  * everything runs as one XLA program; masked sea-ice arrays are filled
+    with 0 on the host first (``__init__.py:225``).
+"""
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+
+from .core.grid import Grid
+from .core.params import Params
+from .core.state import TriggerState
+from .models.pipeline import TriggerPipeline
+
+_PARAM_KEYS = ("target_plev", "thresh_wind", "thresh_winddir",
+               "thresh_windch", "thresh_thc", "target_time", "timestep",
+               "maxdist")
+
+
+def _fill(ci):
+    """``ci.filled(0)`` for masked arrays (__init__.py:225), else as-is."""
+    if ci is None:
+        return None
+    if hasattr(ci, "filled"):
+        return np.asarray(ci.filled(0), np.float32)
+    return np.asarray(ci, np.float32)
+
+
+def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
+    """See module docstring; parameter semantics as the reference docstring
+    (``__init__.py:92-188``).
+
+    Returns ``(tt, sb_con, thc, ws, wd)`` with ``sb_con`` of shape
+    (T, nlat, nlon) (T=1 for 3-D input) and the three state fields 2-D.
+    """
+    ws = kwargs.pop("ws", None)
+    wd = kwargs.pop("wd", None)
+    thc = kwargs.pop("thc", None)
+    meta = kwargs.pop("meta", None)
+    use_pallas = kwargs.pop("use_pallas", False)
+    if meta is None:
+        u, v, t, ci = args
+    else:
+        u, v, t = meta.u, meta.v, meta.theta
+        ci = getattr(meta, "ci", None)
+
+    params = Params(**{k: kwargs.pop(k) for k in _PARAM_KEYS if k in kwargs})
+    if kwargs:
+        raise TypeError(f"unknown keyword arguments: {sorted(kwargs)}")
+
+    tt = max(1, int(tt))
+    shape = np.asarray(lsm).shape
+    for name, val in (("Windspeed", ws), ("Wind direction", wd),
+                      ("Heating contrast", thc)):
+        if val is None and tt > 1:
+            # __init__.py:204-215 — state should be threaded between calls.
+            warnings.warn(f"{name} should be given from previous timestep")
+    state = TriggerState(
+        tt=jnp.asarray(tt, jnp.int32),
+        thc=jnp.asarray(thc if thc is not None else np.zeros(shape),
+                        jnp.float32),
+        windspeed=jnp.asarray(ws if ws is not None else np.zeros(shape),
+                              jnp.float32),
+        winddir=jnp.asarray(wd if wd is not None else np.zeros(shape),
+                            jnp.float32),
+    )
+
+    grid = Grid(lon=np.asarray(lon, np.float32), lat=np.asarray(lat,
+                                                                np.float32))
+    pipe = TriggerPipeline(grid=grid, params=params, use_pallas=use_pallas)
+
+    u = np.asarray(u, np.float32)
+    v = np.asarray(v, np.float32)
+    t = np.asarray(t, np.float32)
+    ci = _fill(ci)
+    single = v.ndim <= 3
+    if single:
+        u, v, t = u[None], v[None], t[None]
+        if ci is not None:
+            ci = ci[None]
+
+    # Tighten/raise the static ring-search bound from the first timestep's
+    # actual distance field (host-side; exact for arbitrary grids, see
+    # ops.ring_search.required_ring_radius_host).
+    from .ops.ring_search import required_ring_radius_host
+    import jax
+    _dist = jax.jit(lambda l, c: pipe.distance_field(l, c))
+    if ci is None:
+        cdist0 = np.asarray(jax.jit(lambda l: pipe.distance_field(l))(
+            jnp.asarray(lsm, jnp.float32)))
+    else:
+        cdist0 = np.asarray(_dist(jnp.asarray(lsm, jnp.float32),
+                                  jnp.asarray(ci[0], jnp.float32)))
+    req = required_ring_radius_host(cdist0, params.maxdist,
+                                    exact_lon=params.exact_lon_indexing)
+    pipe = TriggerPipeline(
+        grid=grid, params=params, use_pallas=use_pallas,
+        ring_nn=max(pipe.nn_max, req + params.ring_search_margin))
+
+    final, outs = pipe.run(state, t, u, v, lsm, z, std, pres, ci_t=ci)
+    nsteps = v.shape[0]
+    return (tt + nsteps, outs["sb_con"], np.asarray(final.thc),
+            np.asarray(final.windspeed), np.asarray(final.winddir))

@@ -1,0 +1,173 @@
+"""Signed distance-to-coast transform.
+
+TPU-native restructuring of ``get_dist``
+(``python_wrapper/seabreezediag/sobel.f90:91-193``).
+
+The reference is a *scatter*: every coastal point walks a (2k+1)^2
+neighborhood and scatter-mins a haversine distance into each neighbor
+(sobel.f90:154-190), with k = int(maxdist / dx) cells where dx is the
+diagonal cell size at ~70 deg latitude (sobel.f90:129-137).  Scatter-min with
+data-dependent writes is TPU-hostile.  Two observations make a clean
+gather-form possible:
+
+1. **Scatter/gather duality.**  The neighborhood is symmetric in index
+   space, so "coastal point j scatters to xx = periodic(j+jj)" is exactly
+   "target xx gathers from sources j = periodic(xx-jj)".  The latitude
+   clamp in the scatter (sobel.f90:159) only ever re-delivers distances that
+   the unclamped window also delivers (min dedups), so the gather window is
+   simply the valid rows |di| <= k.  min is commutative and the sign depends
+   only on the *target* cell's land mask (sobel.f90:178-183), so the result
+   is order-independent — which also removes the benign scatter race of the
+   OpenMP reference (SURVEY §5.2).
+
+2. **Monotonicity.**  c = 2R*atan2(sqrt(a), sqrt(1-a)) + 0.5 is monotone
+   increasing in the haversine parameter a for a in [0,1].  So we minimize
+   *a* (one multiply-add per offset) and evaluate the transcendentals once on
+   the winner, not (2k+1)^2 times.
+
+For a fixed grid, a decomposes into per-axis tables:
+   a(y, x, di, dj) = sdphi2[y, di] + po[y, di] * sdlam2[x, dj]
+with sdphi2 = sin^2(dphi/2), po = cos(phi_src)*cos(phi_tgt),
+sdlam2 = sin^2(dlam/2) — all host-precomputed in float32 from the concrete
+coordinate vectors (works for non-uniform grids too; dlam uses the
+(-180, 180] re-branching of sobel.f90:165-174, whose 360-degree jumps are
+invisible to sin^2).
+
+The jnp implementation below runs a fori_loop over the (2k+1)^2 offsets with
+one dynamic slice + fused multiply-add-min per step.  The Pallas kernel in
+``ops/pallas/distance_kernel.py`` does the same math from VMEM-resident
+tiles in a single HBM pass.
+
+Final-pass quirk: any cell whose |cdist| ends above 2*maxdist is reset to
+the 12000 km sentinel.  The reference applies this *inside* the scatter loop
+(sobel.f90:188), which is loop-order-dependent and thread-racy; on its real
+(global, periodic) workloads no in-window distance exceeds 2*maxdist so the
+orders are indistinguishable, and we implement the deterministic final-pass
+form (see tests/golden/reference_numpy.py::golden_get_dist).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.grid import Grid, EARTH_RADIUS_KM
+
+BIG_PARAM = np.float32(1.0e30)
+_SENTINEL = np.float32(12000.0)
+
+
+def distance_tables(grid: Grid, k: int):
+    """Host-side float32 tables for the decomposed haversine parameter.
+
+    Returns (sdphi2, po, sdlam2):
+      sdphi2 : (nlat, 2k+1)  sin^2((phi[y+di] - phi[y]) / 2); BIG at rows
+               where y+di falls outside the grid (poisoned-invalid).
+      po     : (nlat, 2k+1)  cos(phi[y+di]) * cos(phi[y]); 0 at invalid rows.
+      sdlam2 : (nlon, 2k+1)  sin^2((lon_b[(x+dj) % n] - lon_b[x]) / 2).
+    """
+    phi = grid.phi.astype(np.float32)
+    lonb = grid.lon_branched.astype(np.float32)
+    nlat, nlon = grid.nlat, grid.nlon
+    offs = np.arange(-k, k + 1)
+
+    ysrc = np.arange(nlat)[:, None] + offs[None, :]
+    row_valid = (ysrc >= 0) & (ysrc < nlat)
+    ysrc_c = np.clip(ysrc, 0, nlat - 1)
+    dphi = (phi[ysrc_c] - phi[:, None]).astype(np.float32)
+    sdphi2 = np.sin(dphi / np.float32(2.0), dtype=np.float32) ** 2
+    po = (np.cos(phi[ysrc_c], dtype=np.float32)
+          * np.cos(phi[:, None], dtype=np.float32)).astype(np.float32)
+    sdphi2 = np.where(row_valid, sdphi2, BIG_PARAM).astype(np.float32)
+    po = np.where(row_valid, po, np.float32(0.0)).astype(np.float32)
+
+    xsrc = (np.arange(nlon)[:, None] + offs[None, :]) % nlon
+    dlam = (lonb[xsrc] - lonb[:, None]).astype(np.float32)
+    sdlam2 = np.sin(dlam / np.float32(2.0), dtype=np.float32) ** 2
+    return sdphi2, po, sdlam2
+
+
+def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int):
+    """Core gather-min over a k-padded coast block.
+
+    ``cpad`` is (h+2k, w+2k): rows beyond the *global* lat edge zero-filled
+    (zero = never a source; the reference's lat clamp only duplicates
+    candidates the valid window already delivers), columns wrapped
+    periodically (sobel.f90:163-164 — get_dist uses the clean periodic map).
+    ``sdphi2``/``po`` are this block's (h, 2k+1) row-table slices, ``sdlam2``
+    the (w, 2k+1) column-table slice — under shard_map they arrive pre-sliced
+    by the in_specs.  Each of the (2k+1)^2 offsets is one dynamic slice plus
+    a fused multiply-add-min.
+    """
+    h = cpad.shape[0] - 2 * k
+    w = cpad.shape[1] - 2 * k
+    nwin = 2 * k + 1
+    sdphi2 = jnp.asarray(sdphi2)
+    po = jnp.asarray(po)
+    sdlam2 = jnp.asarray(sdlam2)
+
+    def body(o, amin):
+        di = o // nwin
+        dj = o % nwin
+        win = lax.dynamic_slice(cpad, (di, dj), (h, w))
+        a_cand = (lax.dynamic_slice(sdphi2, (0, di), (h, 1))
+                  + lax.dynamic_slice(po, (0, di), (h, 1))
+                  * lax.dynamic_slice(sdlam2, (0, dj), (w, 1)).T)
+        return jnp.where(win > 0.0, jnp.minimum(amin, a_cand), amin)
+
+    amin0 = jnp.full((h, w), BIG_PARAM, jnp.float32)
+    return lax.fori_loop(0, nwin * nwin, body, amin0)
+
+
+def pad_coast(coast, k: int):
+    """Single-device pad: zero rows beyond the lat edges, periodic columns."""
+    cpad = jnp.pad(coast, ((k, k), (0, 0)))
+    return jnp.pad(cpad, ((0, 0), (k, k)), mode="wrap")
+
+
+def min_haversine_param(coast, sdphi2, po, sdlam2, k: int):
+    """Single-device wrapper: pad + core."""
+    return min_haversine_param_from_padded(pad_coast(coast, k), sdphi2, po,
+                                           sdlam2, k)
+
+
+def finalize_distance(amin, lsm, maxdist):
+    """Convert the winning haversine parameter to the signed, capped cdist.
+
+    Sign comes from the *raw land fraction* at the target: the reference
+    calls get_dist with mask = landfrac and tests ``mask > 0.0``
+    (sobel.f90:179) — any nonzero land fraction counts as land.
+    """
+    found = amin < BIG_PARAM / 2
+    a = jnp.clip(amin, 0.0, 1.0)
+    c = (EARTH_RADIUS_KM * jnp.float32(2.0)
+         * jnp.arctan2(jnp.sqrt(a), jnp.sqrt(jnp.float32(1.0) - a))
+         + jnp.float32(0.5))
+    sign = jnp.where(jnp.asarray(lsm, jnp.float32) > 0.0, 1.0, -1.0)
+    cdist = jnp.where(found & (c < _SENTINEL), sign * c, _SENTINEL)
+    # sobel.f90:188 — cap at 2*maxdist else sentinel (see module docstring).
+    return jnp.where(jnp.abs(cdist) > jnp.float32(2.0) * jnp.float32(maxdist),
+                     _SENTINEL, cdist)
+
+
+def effective_radius(grid: Grid, maxdist: float, k: int | None = None) -> int:
+    """The reference's k (sobel.f90:137), bounded to sane values."""
+    if k is None:
+        k = grid.search_radius_cells(maxdist)
+    return max(0, min(k, max(grid.nlat, grid.nlon)))
+
+
+def coast_distance(coast, lsm, grid: Grid, maxdist: float = 180.0,
+                   *, k: int | None = None, use_pallas: bool = False):
+    """Full ``get_dist`` equivalent: signed km distance to the nearest
+    coastline cell, positive over land, negative over sea, 12000 km sentinel
+    beyond 2*maxdist."""
+    k_eff = effective_radius(grid, maxdist, k)
+    tables = distance_tables(grid, k_eff)
+    if use_pallas:
+        from .pallas.distance_kernel import min_haversine_param_pallas
+        amin = min_haversine_param_pallas(coast, *tables, k_eff)
+    else:
+        amin = min_haversine_param(coast, *tables, k_eff)
+    return finalize_distance(amin, lsm, maxdist)

@@ -1,0 +1,90 @@
+"""Boundary index maps of the reference, and halo-padding built on them.
+
+The reference handles grid boundaries by index arithmetic in three distinct
+ways (all on 1-based Fortran indices):
+
+* latitude rows are clamped:   ``ki = min(max(1, i), nlats)``
+  (sobel.f90:67, seabreeze_diag_python.f90:201, sobel.f90:159)
+* longitudes, "quirky" variant: ``kj = max(1, modulo(j, nlons))``
+  (sobel.f90:68 in get_edges, seabreeze_diag_python.f90:202 in the ring
+  search).  This is *not* clean periodicity: the column left of column 1
+  clamps to column 1, and — because ``modulo(nlons, nlons) == 0`` — column
+  nlons itself aliases to column 1 whenever reached through this map.
+* longitudes, periodic variant: ``xx = modulo(j, nlons); if (xx==0) xx=nlons``
+  (sobel.f90:163-164 in get_dist) — true periodic wraparound.
+
+These maps are reproduced here on 0-based indices so that vectorized gathers
+and halo pads are bit-identical index-wise to the Fortran loops.  The clean
+periodic map is also offered for the non-exact mode (``Params.exact_lon_indexing
+= False``) and for the distributed halo-exchange path, where the quirky map
+only needs special-casing on the shards owning the global lon edges.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def lat_index_clamped(i, nlat: int):
+    """0-based row map for the Fortran clamp min(max(1, i+1), nlat)."""
+    return np.clip(i, 0, nlat - 1)
+
+
+def lon_index_quirky(j, nlon: int):
+    """0-based column map for Fortran ``max(1, modulo(j+1, nlons))``.
+
+    ``j`` is a 0-based (possibly out-of-range) column index; Fortran sees the
+    1-based ``j+1``.  Python ``%`` matches Fortran ``modulo`` for a positive
+    divisor.
+    """
+    j = np.asarray(j)
+    return np.maximum(1, (j + 1) % nlon) - 1
+
+
+def lon_index_periodic(j, nlon: int):
+    """0-based column map for true periodic wraparound (sobel.f90:163-164)."""
+    j = np.asarray(j)
+    return j % nlon
+
+
+def pad_indices(n: int, pad: int, index_map) -> np.ndarray:
+    """Indices selecting a (n + 2*pad)-wide padded axis from an n-wide axis,
+    boundary-resolved through ``index_map``.  Static (NumPy) — shapes and
+    gather indices are compile-time constants."""
+    return np.asarray(index_map(np.arange(-pad, n + pad), n), np.int32)
+
+
+def pad2d(field, pad_lat: int, pad_lon: int, *, exact_lon: bool = True):
+    """Pad a (..., nlat, nlon) field by boundary-resolved gathering.
+
+    Rows use the clamped map; columns use the quirky map when ``exact_lon``
+    (reference parity) else the periodic map.  This is the single-device
+    stand-in for a halo exchange: on a sharded mesh the same semantics are
+    produced by ``parallel.halo.exchange`` plus this map applied only at the
+    true global edges.
+    """
+    nlat, nlon = field.shape[-2], field.shape[-1]
+    out = field
+    if pad_lat:
+        rows = jnp.asarray(pad_indices(nlat, pad_lat, lat_index_clamped))
+        out = jnp.take(out, rows, axis=-2)
+    if pad_lon:
+        lon_map = lon_index_quirky if exact_lon else lon_index_periodic
+        cols = jnp.asarray(pad_indices(nlon, pad_lon, lon_map))
+        out = jnp.take(out, cols, axis=-1)
+    return out
+
+
+def remap_lon_quirky(field):
+    """Re-index the *unpadded* columns of a field through the quirky map.
+
+    Needed because the quirky map is not the identity even for in-range
+    columns: column nlons-1 (0-based) aliases to column 0 when addressed as
+    the window *center* in get_edges/ring-search loops (Fortran
+    ``modulo(nlons, nlons) == 0``).  ``pad2d`` already handles this for the
+    padded copy; this helper exists for code that indexes centers directly.
+    """
+    nlon = field.shape[-1]
+    cols = jnp.asarray(
+        np.asarray(lon_index_quirky(np.arange(nlon), nlon), np.int32))
+    return jnp.take(field, cols, axis=-1)

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark harness: full trigger pipeline throughput.
+
+Runs the flagship workload — the global 0.25-degree trigger pipeline with a
+moving sea-ice field (so the coastline + coast-distance transform is rebuilt
+every step, the reference's hot path, ``__init__.py:219-245``) — and prints
+ONE JSON line::
+
+    {"metric": ..., "value": N, "unit": "grid-points/s", "vs_baseline": N}
+
+``vs_baseline`` compares against the recorded CPU-host baseline in
+``benchmarks/baseline_cpu.json`` (the reference is Fortran+OpenMP on CPU; no
+Fortran compiler exists in this image, so the committed baseline is the same
+pipeline semantics executed on all host CPU cores — see
+benchmarks/README.md).  Falls back to 1.0 when absent.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_world(nlat, nlon, nlev, nt, seed=0):
+    rng = np.random.default_rng(seed)
+    F = np.float32
+    y, x = np.mgrid[0:nlat, 0:nlon]
+    coastx = (0.55 * nlon + 0.08 * nlon * np.sin(2 * np.pi * y / nlat * 2.3)
+              + 0.03 * nlon * np.sin(2 * np.pi * y / nlat * 7.1))
+    land = (x > coastx).astype(F)
+    for cy, cx, r in ((int(0.3 * nlat), int(0.25 * nlon), 0.05),
+                      (int(0.7 * nlat), int(0.15 * nlon), 0.03)):
+        land[(y - cy) ** 2 + (x - cx) ** 2 < (r * nlon) ** 2] = 1.0
+    lsm = (land * (0.6 + 0.4 * rng.random((nlat, nlon)))).astype(F)
+    z = (700.0 * lsm * rng.random((nlat, nlon))).astype(F)
+    std = (110.0 * lsm * rng.random((nlat, nlon))).astype(F)
+    pres = np.linspace(100000.0, 50000.0, nlev).astype(F)
+    theta = (288.0 + 5.0 * rng.standard_normal((nt, nlat, nlon))).astype(F)
+    u = (6.0 * rng.standard_normal((nt, nlev, nlat, nlon))).astype(F)
+    v = (6.0 * rng.standard_normal((nt, nlev, nlat, nlon))).astype(F)
+    ci = np.zeros((nt, nlat, nlon), F)
+    ci[:, : nlat // 12, :] = 0.8  # polar sea ice: coastline moves every step
+    return lsm, z, std, pres, theta, u, v, ci
+
+
+GRIDS = {
+    # name: (nlat, nlon)  — global lat-lon resolutions
+    "global100": (181, 360),     # 1.0 deg
+    "global050": (361, 720),     # 0.5 deg
+    "global025": (721, 1440),    # 0.25 deg  (headline config, BASELINE.md #3)
+    "global010": (1801, 3600),   # 0.1 deg   (north-star config, BASELINE.md #4)
+}
+
+
+def run(grid_name: str, steps: int, nlev: int, use_pallas: bool,
+        repeats: int = 3):
+    import jax
+    import jax.numpy as jnp
+    from seabreeze_param_tpu.core.grid import Grid
+    from seabreeze_param_tpu.core.state import TriggerState
+    from seabreeze_param_tpu.models.pipeline import TriggerPipeline
+
+    nlat, nlon = GRIDS[grid_name]
+    lsm, z, std, pres, theta, u, v, ci = make_world(nlat, nlon, nlev, steps)
+    grid = Grid.regular(nlat, nlon, lat0=90.0, lat1=-90.0)
+    pipe = TriggerPipeline(grid, use_pallas=use_pallas)
+
+    xs = (jnp.asarray(theta), jnp.asarray(u), jnp.asarray(v), jnp.asarray(ci))
+    statics = (jnp.asarray(lsm), jnp.asarray(z), jnp.asarray(std),
+               jnp.asarray(pres))
+
+    def body(state, xs, lsm, z, std, pres):
+        def scan_fn(carry, x):
+            th, uu, vv, cci = x
+            return pipe.step(carry, th, uu, vv, lsm, z, std, pres, ci=cci)
+        final, outs = jax.lax.scan(scan_fn, state, xs)
+        # Device-side checksum: fetching this scalar forces execution of the
+        # whole scan (block_until_ready alone is unreliable on tunneled
+        # backends), without timing a full-field host readback.
+        chk = sum(jnp.sum(jnp.where(jnp.abs(o) < 1e19, o, 0.0))
+                  for o in outs.values())
+        return final, chk
+
+    fn = jax.jit(body, donate_argnums=(0,))
+
+    # warmup/compile
+    state = TriggerState.zeros((nlat, nlon))
+    final, chk = fn(state, xs, *statics)
+    float(chk)
+
+    best = np.inf
+    for _ in range(repeats):
+        state = TriggerState.zeros((nlat, nlon))
+        t0 = time.perf_counter()
+        final, chk = fn(state, xs, *statics)
+        float(chk)
+        best = min(best, time.perf_counter() - t0)
+    pts = steps * nlat * nlon
+    return pts / best, best / steps, pipe.k, pipe.nn_max
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", default="global025", choices=sorted(GRIDS))
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--nlev", type=int, default=4)
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    platform = jax.devices()[0].platform
+
+    throughput, step_s, k, nn = run(args.grid, args.steps, args.nlev,
+                                    args.pallas, args.repeats)
+
+    vs = 1.0
+    base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "baseline_cpu.json")
+    if os.path.exists(base_file):
+        with open(base_file) as f:
+            base = json.load(f)
+        ref = base.get(args.grid, {}).get("grid_points_per_s")
+        if ref:
+            vs = throughput / ref
+
+    print(json.dumps({
+        "metric": f"trigger-pipeline throughput, {args.grid} "
+                  f"({platform}, k={k}, nn={nn}, {args.steps} steps)",
+        "value": round(throughput, 1),
+        "unit": "grid-points/s",
+        "vs_baseline": round(vs, 3),
+    }))
+    print(f"# step time: {step_s*1e3:.2f} ms/step", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

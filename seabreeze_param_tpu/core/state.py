@@ -47,9 +47,12 @@ class TriggerState:
     @staticmethod
     def zeros(shape: tuple[int, int], tt: int = 1) -> "TriggerState":
         """Cold-start state: zeros, tt=1 (test_run.py:13-17)."""
-        z = jnp.zeros(shape, jnp.float32)
-        return TriggerState(tt=jnp.asarray(tt, jnp.int32), thc=z,
-                            windspeed=z, winddir=z)
+        # Three distinct buffers — sharing one zeros array would make
+        # donation of the state pytree donate the same buffer three times.
+        return TriggerState(tt=jnp.asarray(tt, jnp.int32),
+                            thc=jnp.zeros(shape, jnp.float32),
+                            windspeed=jnp.zeros(shape, jnp.float32),
+                            winddir=jnp.zeros(shape, jnp.float32))
 
     @property
     def shape(self):

@@ -89,7 +89,7 @@ def distance_tables(grid: Grid, k: int):
 
 
 def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int):
-    """Core gather-min over a k-padded coast block.
+    """Core gather-min over a k-padded coast block — separable two-pass form.
 
     ``cpad`` is (h+2k, w+2k): rows beyond the *global* lat edge zero-filled
     (zero = never a source; the reference's lat clamp only duplicates
@@ -97,8 +97,21 @@ def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int):
     periodically (sobel.f90:163-164 — get_dist uses the clean periodic map).
     ``sdphi2``/``po`` are this block's (h, 2k+1) row-table slices, ``sdlam2``
     the (w, 2k+1) column-table slice — under shard_map they arrive pre-sliced
-    by the in_specs.  Each of the (2k+1)^2 offsets is one dynamic slice plus
-    a fused multiply-add-min.
+    by the in_specs.
+
+    The naive form scans all (2k+1)^2 offsets.  For any fixed di the inner
+    min over dj is ``po[di] * extremum(sdlam2 over coast cells)`` — the
+    masked *min* of sdlam2 when po >= 0, the masked *max* when po < 0 (po is
+    cos*cos, which in exact arithmetic is >= 0 but in float32 dips to ~-4e-8
+    at the poles).  Tracking both extrema makes the separation *exact*:
+
+        min_{di,dj: coast} sdphi2[di] + po[di] * sdlam2[x, dj]
+          = min_di ( sdphi2[di] + min(po[di]*Mmin[y+di,x], po[di]*Mmax[..]) )
+
+    — the same winning value as the full 2-D scan, in O(2*(2k+1)) sliced
+    FMA/min passes instead of O((2k+1)^2).  Row-windows with no coast cell
+    are poisoned explicitly (Mmin stays BIG); beyond-lat-edge rows carry
+    sdphi2 = BIG and never win.
     """
     h = cpad.shape[0] - 2 * k
     w = cpad.shape[1] - 2 * k
@@ -107,17 +120,30 @@ def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int):
     po = jnp.asarray(po)
     sdlam2 = jnp.asarray(sdlam2)
 
-    def body(o, amin):
-        di = o // nwin
-        dj = o % nwin
-        win = lax.dynamic_slice(cpad, (di, dj), (h, w))
-        a_cand = (lax.dynamic_slice(sdphi2, (0, di), (h, 1))
-                  + lax.dynamic_slice(po, (0, di), (h, 1))
-                  * lax.dynamic_slice(sdlam2, (0, dj), (w, 1)).T)
-        return jnp.where(win > 0.0, jnp.minimum(amin, a_cand), amin)
+    # --- pass 1: per padded row, masked sliding min/max of sdlam2 over dj -
+    def body_j(dj, mm):
+        mmin, mmax = mm
+        win = lax.dynamic_slice(cpad, (0, dj), (h + 2 * k, w)) > 0.0
+        cand = lax.dynamic_slice(sdlam2, (0, dj), (w, 1)).T  # (1, w)
+        return (jnp.where(win, jnp.minimum(mmin, cand), mmin),
+                jnp.where(win, jnp.maximum(mmax, cand), mmax))
+
+    m0 = (jnp.full((h + 2 * k, w), BIG_PARAM, jnp.float32),
+          jnp.full((h + 2 * k, w), -BIG_PARAM, jnp.float32))
+    Mmin, Mmax = lax.fori_loop(0, nwin, body_j, m0)
+
+    # --- pass 2: min over di of sdphi2 + po * extremum --------------------
+    def body_i(di, amin):
+        lo = lax.dynamic_slice(Mmin, (di, 0), (h, w))
+        hi = lax.dynamic_slice(Mmax, (di, 0), (h, w))
+        p = lax.dynamic_slice(po, (0, di), (h, 1))
+        inner = jnp.minimum(p * lo, p * hi)
+        cand = lax.dynamic_slice(sdphi2, (0, di), (h, 1)) + inner
+        cand = jnp.where(lo > BIG_PARAM / 2, BIG_PARAM, cand)  # empty window
+        return jnp.minimum(amin, cand)
 
     amin0 = jnp.full((h, w), BIG_PARAM, jnp.float32)
-    return lax.fori_loop(0, nwin * nwin, body, amin0)
+    return lax.fori_loop(0, nwin, body_i, amin0)
 
 
 def pad_coast(coast, k: int):

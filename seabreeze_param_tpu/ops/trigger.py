@@ -19,7 +19,7 @@ from jax import lax
 from ..core.params import Params, RAD2DEG_TRIGGER, GMMA, MISSING_VALUE
 from ..core.state import TriggerState
 from .orography import sigmoid_weight
-from .ring_search import ring_thc
+from .ring_search import ring_thc, ring_quantities, ring_thc_from_padded
 
 
 def sea_level_temperature(theta, z, smod):
@@ -50,7 +50,9 @@ def wind_at_level(u, v, pres, target_plev_pa):
 
 def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
                  params: Params, nn_max: int, *, smod=None,
-                 axis_names: tuple[str, ...] = ()):
+                 axis_names: tuple[str, ...] = (), ring_pad_fn=None,
+                 row_offset=0, nlat_total: int | None = None,
+                 valid_mask=None):
     """One trigger timestep.
 
     Parameters mirror the Fortran ``diag`` argument list
@@ -60,19 +62,33 @@ def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
     reference recomputes it every call, seabreeze_diag_python.f90:157 — the
     result is identical either way).
 
+    Sharded operation (called inside ``shard_map`` by ``parallel.sharded``):
+    ``ring_pad_fn(quant_stack, nn_max)`` supplies the halo-exchange pad for
+    the ring search, ``axis_names`` routes the sigmoid's global reductions,
+    ``row_offset``/``nlat_total`` locate this block's rows in the global
+    grid (for the last-row quirk), and ``valid_mask`` flags
+    replication-padding cells excluded from global statistics.
+
     Returns ``(new_state, outputs)`` with outputs a dict of the four Fortran
     output slots (seabreeze_diag_python.f90:277-280): ``sb_con``, ``t0``,
     ``windspeed``, ``winddir``.
     """
     if smod is None:
-        smod = sigmoid_weight(std, axis_names=axis_names)
+        smod = sigmoid_weight(std, axis_names=axis_names,
+                              valid_mask=valid_mask)
     t0 = sea_level_temperature(theta, z, smod)
 
     cdist = jnp.asarray(cdist, jnp.float32)
     coastal = jnp.abs(cdist) <= jnp.float32(params.maxdist)
 
-    n_thc, _ = ring_thc(t0, cdist, nn_max,
-                        exact_lon=params.exact_lon_indexing)
+    if ring_pad_fn is None:
+        n_thc, _ = ring_thc(t0, cdist, nn_max,
+                            exact_lon=params.exact_lon_indexing)
+    else:
+        quant = ring_quantities(t0, cdist)
+        mul = jnp.where(cdist >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+        n_thc, _ = ring_thc_from_padded(ring_pad_fn(quant, nn_max), mul,
+                                        nn_max)
     ws_new, wd_new = wind_at_level(u, v, pres, params.target_plev_pa)
 
     # First-timestep seeding (seabreeze_diag_python.f90:236-240): coastal
@@ -114,8 +130,8 @@ def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
         # Reference loop bound `do i=1,nlats-1` (seabreeze_diag_python.f90:165)
         # never writes the last latitude row (uninitialized memory in the
         # f2py build).  We emit zeros there and freeze its state.
-        nlat = t0.shape[0]
-        row_ok = (jnp.arange(nlat) < nlat - 1)[:, None]
+        nlat = nlat_total if nlat_total is not None else t0.shape[0]
+        row_ok = ((row_offset + jnp.arange(t0.shape[0])) < nlat - 1)[:, None]
         zero = jnp.float32(0.0)
         out_sb = jnp.where(row_ok, out_sb, zero)
         out_t0 = jnp.where(row_ok, out_t0, zero)

@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in xf:
     os.environ["XLA_FLAGS"] = (
         xf + " --xla_force_host_platform_device_count=8").strip()
 
+# Some images pre-import jax from sitecustomize with a hardware platform
+# pinned; the env vars above are then too late — override at runtime (works
+# as long as no backend has been initialized yet).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

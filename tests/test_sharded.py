@@ -1,0 +1,89 @@
+"""Shard-count invariance: the shard_map pipeline over a virtual 8-device
+CPU mesh must reproduce the single-device pipeline (the functional analogue
+of a race detector, SURVEY §5.2 — and the idiomatic equivalent of the
+reference's fake ``swap_bounds`` backend, ``generic/halo_exchange_mod.f90``).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from seabreeze_param_tpu.core.grid import Grid
+from seabreeze_param_tpu.core.params import Params
+from seabreeze_param_tpu.core.state import TriggerState
+from seabreeze_param_tpu.models.pipeline import TriggerPipeline
+from seabreeze_param_tpu.parallel.mesh import make_mesh
+from seabreeze_param_tpu.parallel.sharded import ShardedPipeline
+
+
+def _zero_state(nlat, nlon):
+    return TriggerState.zeros((nlat, nlon))
+
+
+def _run_single(pipe, c, nsteps):
+    nlat, nlon = len(c["lat"]), len(c["lon"])
+    state = _zero_state(nlat, nlon)
+    return pipe.run(state, c["theta_t"][:nsteps], c["u_t"][:nsteps],
+                    c["v_t"][:nsteps], c["lsm"], c["z"], c["std"], c["p"],
+                    ci_t=c["ci_t"][:nsteps])
+
+
+def _run_sharded(pipe, mesh_shape, c, nsteps):
+    mesh = make_mesh(mesh_shape)
+    sp = ShardedPipeline(pipe, mesh)
+    nlat, nlon = len(c["lat"]), len(c["lon"])
+    state = _zero_state(nlat, nlon)
+    return sp.run(state, c["theta_t"][:nsteps], c["u_t"][:nsteps],
+                  c["v_t"][:nsteps], c["lsm"], c["z"], c["std"], c["p"],
+                  ci_t=c["ci_t"][:nsteps])
+
+
+def _assert_state_close(a, b):
+    assert int(a.tt) == int(b.tt)
+    np.testing.assert_allclose(np.asarray(a.thc), np.asarray(b.thc),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.windspeed),
+                               np.asarray(b.windspeed), rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.winddir),
+                               np.asarray(b.winddir), rtol=1e-5, atol=1e-3)
+
+
+def _assert_outputs_close(got, ref):
+    for key in ("sb_con", "t0", "windspeed", "winddir"):
+        g, r = np.asarray(got[key]), np.asarray(ref[key])
+        assert g.shape == r.shape, key
+        # identical missing/sentinel structure, tight values elsewhere
+        miss = r == np.float32(2.0e20)
+        np.testing.assert_array_equal(g == np.float32(2.0e20), miss, err_msg=key)
+        sel = ~miss
+        mism = ~np.isclose(g[sel], r[sel], rtol=1e-5, atol=1e-4)
+        # reassociated float32 reductions (psum trees) may flip a borderline
+        # threshold decision on a vanishing fraction of cells
+        assert mism.mean() < 1e-3, f"{key}: {mism.sum()}/{mism.size}"
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_matches_single_device(small_case, mesh_shape):
+    c = small_case
+    nsteps = 2
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    pipe = TriggerPipeline(grid)
+    ref_state, ref_out = _run_single(pipe, c, nsteps)
+    got_state, got_out = _run_sharded(pipe, mesh_shape, c, nsteps)
+    _assert_outputs_close(got_out, ref_out)
+    _assert_state_close(got_state, ref_state)
+
+
+def test_sharded_lat_padding(global_case):
+    """nlat=121 is not divisible by 2: exercises the replication-padding path
+    and its valid-mask-corrected global statistics."""
+    c = global_case
+    nsteps = 2
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    pipe = TriggerPipeline(grid)
+    ref_state, ref_out = _run_single(pipe, c, nsteps)
+    got_state, got_out = _run_sharded(pipe, (2, 4), c, nsteps)
+    assert got_out["sb_con"].shape == ref_out["sb_con"].shape
+    _assert_outputs_close(got_out, ref_out)
+    _assert_state_close(got_state, ref_state)

@@ -56,6 +56,11 @@ GRIDS = {
 }
 
 
+def _enable_compile_cache():
+    from seabreeze_param_tpu.utils.compile_cache import enable
+    enable()
+
+
 def run(grid_name: str, steps: int, nlev: int, use_pallas: bool,
         repeats: int = 3):
     import jax
@@ -106,12 +111,13 @@ def run(grid_name: str, steps: int, nlev: int, use_pallas: bool,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", default="global025", choices=sorted(GRIDS))
-    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--nlev", type=int, default=4)
     ap.add_argument("--pallas", action="store_true")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
+    _enable_compile_cache()
     import jax
     platform = jax.devices()[0].platform
 

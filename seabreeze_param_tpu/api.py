@@ -58,6 +58,7 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
     thc = kwargs.pop("thc", None)
     meta = kwargs.pop("meta", None)
     use_pallas = kwargs.pop("use_pallas", False)
+    full_output = kwargs.pop("full_output", False)
     if meta is None:
         u, v, t, ci = args
     else:
@@ -67,6 +68,9 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
     params = Params(**{k: kwargs.pop(k) for k in _PARAM_KEYS if k in kwargs})
     if kwargs:
         raise TypeError(f"unknown keyword arguments: {sorted(kwargs)}")
+
+    from .utils.compile_cache import enable as _enable_cache
+    _enable_cache()
 
     tt = max(1, int(tt))
     shape = np.asarray(lsm).shape
@@ -119,5 +123,12 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
 
     final, outs = pipe.run(state, t, u, v, lsm, z, std, pres, ci_t=ci)
     nsteps = v.shape[0]
-    return (tt + nsteps, outs["sb_con"], np.asarray(final.thc),
-            np.asarray(final.windspeed), np.asarray(final.winddir))
+    ret = (tt + nsteps, outs["sb_con"], np.asarray(final.thc),
+           np.asarray(final.windspeed), np.asarray(final.winddir))
+    if full_output:
+        # extension over the reference API: the per-step output fields
+        # (sb_con, t0, windspeed, winddir), each (T, nlat, nlon) — what the
+        # reference's production sb files evidently contained (plot.py:99
+        # reads a per-step `thc` variable its own test_run.py never wrote).
+        return ret + ({k: np.asarray(o) for k, o in outs.items()},)
+    return ret

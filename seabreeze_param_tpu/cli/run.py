@@ -1,0 +1,98 @@
+"""Batch production driver — the ``test_run.py`` equivalent.
+
+End-to-end pipeline (``python_wrapper/test_run.py:8-57``): config file ->
+static metadata -> per-dated-file loop -> jitted diag over each file's time
+axis -> CF netCDF output ``{prefix}sb_{date}.nc``, with the persistent
+state triple threaded across files.
+
+Run as::
+
+    python -m seabreeze_param_tpu.cli.run --config=run.conf
+
+CLI contract as the reference (``test_run.py:72-110``): ``--option=value``
+pairs, ``--help`` prints usage; unknown options are passed through to
+``diag`` as science-parameter overrides (e.g. ``--maxdist=250``).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from .. import api
+from ..io import Config, Meta, read_nc
+
+
+def main(config, progress=sys.stdout, **diag_kwargs):
+    """Run the batch pipeline; returns the final (tt, thc, ws, wd) state."""
+    cfg = Config(config)
+    meta = Meta(cfg)
+    thc = np.zeros((len(meta.lat), len(meta.lon)), np.float32)
+    windspeed = np.zeros_like(thc)
+    winddir = np.zeros_like(thc)
+    tt = 1
+    written = []
+    for tstring in meta.dates:
+        f_sb = meta.input_path("sb", tstring)
+        if progress:
+            progress.write("Creating sea-breeze data for "
+                           f"{os.path.basename(f_sb)} ... ")
+            progress.flush()
+        nc_data = read_nc(meta.input_path(cfg.vv, tstring),
+                          meta.input_path(cfg.vu, tstring),
+                          meta.input_path(cfg.vtheta, tstring),
+                          meta.input_path(cfg.vci, tstring),
+                          vv=cfg.vv, vu=cfg.vu, vtheta=cfg.vtheta,
+                          vci=cfg.vci, vpres=cfg.vpres, vtime=cfg.vtime)
+        tt, sb_con, thc, windspeed, winddir, outs = api.diag(
+            tt, meta.landfrac, meta.z, meta.std, meta.lon, meta.lat,
+            nc_data.pres, meta=nc_data, ws=windspeed, wd=winddir, thc=thc,
+            full_output=True, **diag_kwargs)
+        meta.create_nc(np.asarray(sb_con), f_sb, "sb_con", nc_data.time)
+        # per-step sea-level temperature, under the reference's production
+        # name "thc" (the out[1] quirk — plot.py:97-99 reads it from the sb
+        # files; the reference's own test_run.py never wrote it)
+        meta.create_nc(outs["t0"], f_sb, "thc", nc_data.time)
+        written.append(f_sb)
+        for f in nc_data.nc.values():
+            f.close()
+        if progress:
+            progress.write("ok\n")
+            progress.flush()
+    return tt, thc, windspeed, winddir, written
+
+
+HELP = """
+Module to run the seabreeze detection.
+
+Usage:
+    python -m seabreeze_param_tpu.cli.run --option=value
+
+Options:
+    config           : The configuration file that contains all information
+                       to run the sea-breeze detection (default: ./run.conf)
+    any diag kwarg   : science-parameter override, e.g. --maxdist=250
+"""
+
+
+def cli(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    kwargs = {"config": os.path.join(os.getcwd(), "run.conf")}
+    for arg in argv:
+        try:
+            key, value = arg.lstrip("-").split("=")
+        except ValueError:
+            sys.exit(HELP)
+        if key.lower() == "help":
+            sys.exit(HELP)
+        try:
+            value = float(value)
+        except ValueError:
+            pass
+        kwargs[key.lower()] = value
+    main(**kwargs)
+
+
+if __name__ == "__main__":
+    cli()

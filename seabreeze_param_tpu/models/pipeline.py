@@ -72,7 +72,8 @@ class TriggerPipeline:
         """One full timestep (distance rebuild + trigger)."""
         cdist = self.distance_field(lsm, ci)
         return trigger_step(state, theta, u, v, cdist, z, std, pres,
-                            self.params, self.nn_max, smod=smod)
+                            self.params, self.nn_max, smod=smod,
+                            use_pallas=self.use_pallas)
 
     # ------------------------------------------------------------------
     def run(self, state: TriggerState, theta_t, u_t, v_t, lsm, z, std, pres,
@@ -102,7 +103,7 @@ class TriggerPipeline:
                 th, uu, vv = xs
                 new_state, out = trigger_step(
                     carry, th, uu, vv, cdist0, z, std, pres, self.params,
-                    self.nn_max)
+                    self.nn_max, use_pallas=self.use_pallas)
             else:
                 th, uu, vv, ci = xs
                 new_state, out = self.step(carry, th, uu, vv, lsm, z, std,

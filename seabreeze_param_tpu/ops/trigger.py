@@ -52,7 +52,7 @@ def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
                  params: Params, nn_max: int, *, smod=None,
                  axis_names: tuple[str, ...] = (), ring_pad_fn=None,
                  row_offset=0, nlat_total: int | None = None,
-                 valid_mask=None):
+                 valid_mask=None, use_pallas: bool = False):
     """One trigger timestep.
 
     Parameters mirror the Fortran ``diag`` argument list
@@ -82,8 +82,21 @@ def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
     coastal = jnp.abs(cdist) <= jnp.float32(params.maxdist)
 
     if ring_pad_fn is None:
-        n_thc, _ = ring_thc(t0, cdist, nn_max,
-                            exact_lon=params.exact_lon_indexing)
+        if use_pallas:
+            from .indexing import pad2d
+            from .pallas.ring_kernel import ring_thc_pallas_padded
+            n_thc = ring_thc_pallas_padded(
+                pad2d(t0, nn_max, nn_max,
+                      exact_lon=params.exact_lon_indexing),
+                pad2d(cdist, nn_max, nn_max,
+                      exact_lon=params.exact_lon_indexing), cdist, nn_max)
+        else:
+            n_thc, _ = ring_thc(t0, cdist, nn_max,
+                                exact_lon=params.exact_lon_indexing)
+    elif use_pallas:
+        from .pallas.ring_kernel import ring_thc_pallas_padded
+        padded = ring_pad_fn(jnp.stack([t0, cdist]), nn_max)
+        n_thc = ring_thc_pallas_padded(padded[0], padded[1], cdist, nn_max)
     else:
         quant = ring_quantities(t0, cdist)
         mul = jnp.where(cdist >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))

@@ -110,7 +110,7 @@ class ShardedPipeline:
                 carry, th, uu, vv, cdist, z, std, pres, params, self.nn_max,
                 axis_names=(AXIS_Y, AXIS_X), ring_pad_fn=ring_pad,
                 row_offset=row_offset, nlat_total=self.nlat_real,
-                valid_mask=valid)
+                valid_mask=valid, use_pallas=pipe.use_pallas)
             return new_state, out
 
         return lax.scan(scan_fn, state, xs)

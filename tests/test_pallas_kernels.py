@@ -28,3 +28,33 @@ def test_distance_kernel_matches_jnp(case, tile_rows, request):
                                                 interpret=True))
     # identical candidate set + monotone float32 ops -> bit-identical
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("case", ["small_case", "global_case"])
+@pytest.mark.parametrize("tile_rows", [32, 64])
+def test_ring_kernel_matches_jnp(case, tile_rows, request):
+    """Fused ring-search kernel vs ops.ring_search (same window sums in the
+    same order -> tight tolerance; t0*sea differs only by the exact
+    complement construction)."""
+    from seabreeze_param_tpu.models.pipeline import TriggerPipeline
+    from seabreeze_param_tpu.ops.indexing import pad2d
+    from seabreeze_param_tpu.ops.pallas.ring_kernel import (
+        ring_thc_pallas_padded)
+    from seabreeze_param_tpu.ops.ring_search import ring_thc
+
+    c = request.getfixturevalue(case)
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    pipe = TriggerPipeline(grid)
+    nn = pipe.nn_max
+    coast = get_edges(c["lsm"], c["ci_t"][0])
+    from seabreeze_param_tpu.ops.distance import coast_distance
+    cdist = coast_distance(coast, c["lsm"], grid, 180.0)
+    rng = np.random.default_rng(4)
+    t0 = (290.0 + 8.0 * rng.standard_normal(c["lsm"].shape)).astype(
+        np.float32)
+
+    ref, _ = ring_thc(jnp.asarray(t0), cdist, nn)
+    got = ring_thc_pallas_padded(pad2d(jnp.asarray(t0), nn, nn),
+                                 pad2d(cdist, nn, nn), cdist, nn,
+                                 tile_rows=tile_rows, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)

@@ -155,11 +155,16 @@ def main(config, outdir=None, plot=True, progress=sys.stdout):
     return ncout, maps
 
 
-if __name__ == "__main__":
+def cli(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
     kwargs = {"config": os.path.join(os.getcwd(), "run.conf")}
-    for arg in sys.argv[1:]:
+    for arg in argv:
         key, _, value = arg.lstrip("-").partition("=")
         if key.lower() == "help" or not value:
             sys.exit(__doc__)
         kwargs[key.lower()] = value
     main(**kwargs)
+
+
+if __name__ == "__main__":
+    cli()

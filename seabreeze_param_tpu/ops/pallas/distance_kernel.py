@@ -35,20 +35,29 @@ from jax.experimental.pallas import tpu as pltpu
 BIG_PARAM = np.float32(1.0e30)
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def _kernel(cpad_hbm, sdphi2_ref, po_ref, sdlam2t_ref, out_ref, scr,
-            mmin_scr, mmax_scr, sem, *, k: int, th: int, w: int):
+            mmin_scr, mmax_scr, sem, *, k: int, th: int, w: int,
+            rows_dma: int):
     i = pl.program_id(0)
     nwin = 2 * k + 1
 
-    # Tile rows [i*th, i*th + th + 2k) of the padded coast field -> VMEM.
+    # Tile rows [i*th, i*th + rows_dma) of the padded coast field -> VMEM.
+    # rows_dma = th + 2k rounded up to the f32 sublane tiling (8): Mosaic
+    # requires DMA slice shapes tile-aligned on the second-minor dim.  The
+    # extra rows are zero-padded in HBM (never coast sources) and land in
+    # mmin rows >= th + 2k, which no pass-2 window (di <= 2k) ever reads.
     dma = pltpu.make_async_copy(
-        cpad_hbm.at[pl.ds(i * th, th + 2 * k), :], scr, sem)
+        cpad_hbm.at[pl.ds(i * th, rows_dma), :], scr, sem)
     dma.start()
     dma.wait()
 
     # --- pass 1: masked sliding min/max of sdlam2 over the lon window -----
-    mmin_scr[:] = jnp.full((th + 2 * k, w), BIG_PARAM, jnp.float32)
-    mmax_scr[:] = jnp.full((th + 2 * k, w), -BIG_PARAM, jnp.float32)
+    mmin_scr[:] = jnp.full((rows_dma, w), BIG_PARAM, jnp.float32)
+    mmax_scr[:] = jnp.full((rows_dma, w), -BIG_PARAM, jnp.float32)
     for dj in range(nwin):
         coast_w = scr[:, dj:dj + w] > 0.0
         cand = sdlam2t_ref[dj:dj + 1, :]           # (1, w) broadcasts
@@ -87,14 +96,24 @@ def min_haversine_param_pallas_padded(cpad, sdphi2, po, sdlam2, k: int,
                          constant_values=BIG_PARAM)
         po = jnp.pad(jnp.asarray(po), ((0, hp - h), (0, 0)))
 
+    # Align the per-tile DMA slice to the f32 tiling: rows to the sublane
+    # quantum (8), the full copied width to the lane quantum (128).  The
+    # padding is zeros = never coast sources, so results are unchanged.
+    rows_dma = _round_up(th + 2 * k, 8)
+    cols_dma = _round_up(w + 2 * k, 128)
+    extra = (hp - th + rows_dma) - (hp + 2 * k)
+    pad_c = cols_dma - (w + 2 * k)
+    if extra > 0 or pad_c > 0:
+        cpad = jnp.pad(cpad, ((0, max(extra, 0)), (0, pad_c)))
+
     nwin = 2 * k + 1
     sdlam2t = jnp.asarray(sdlam2).T                 # (2k+1, w)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, k=k, th=th, w=w),
+        functools.partial(_kernel, k=k, th=th, w=w, rows_dma=rows_dma),
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # cpad
+            pl.BlockSpec(memory_space=pl.ANY),                    # cpad
             pl.BlockSpec((th, nwin), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),                # sdphi2
             pl.BlockSpec((th, nwin), lambda i: (i, 0),
@@ -106,9 +125,9 @@ def min_haversine_param_pallas_padded(cpad, sdphi2, po, sdlam2, k: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * k, w + 2 * k), jnp.float32),     # tile
-            pltpu.VMEM((th + 2 * k, w), jnp.float32),             # Mmin
-            pltpu.VMEM((th + 2 * k, w), jnp.float32),             # Mmax
+            pltpu.VMEM((rows_dma, cols_dma), jnp.float32),        # tile
+            pltpu.VMEM((rows_dma, w), jnp.float32),               # Mmin
+            pltpu.VMEM((rows_dma, w), jnp.float32),               # Mmax
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(

@@ -29,15 +29,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def _kernel(t0_hbm, cd_hbm, cdc_ref, out_thc, t0s, cds, hp, vc, ws, sem,
-            *, nn_max: int, th: int, w: int):
+            *, nn_max: int, th: int, w: int, rows_dma: int, cols_dma: int):
     i = pl.program_id(0)
     NN = int(nn_max)
 
+    # rows_dma = th + 2NN rounded up to the f32 sublane tiling (8): Mosaic
+    # requires tile-aligned DMA slice shapes.  Extra rows (zero-padded in
+    # HBM) sit at strip indices >= th + 2NN, beyond every window slice
+    # (max offset NN+nn+th <= th + 2NN), so they never enter a sum.
     t0_dma = pltpu.make_async_copy(
-        t0_hbm.at[pl.ds(i * th, th + 2 * NN), :], t0s, sem.at[0])
+        t0_hbm.at[pl.ds(i * th, rows_dma), :], t0s, sem.at[0])
     cd_dma = pltpu.make_async_copy(
-        cd_hbm.at[pl.ds(i * th, th + 2 * NN), :], cds, sem.at[1])
+        cd_hbm.at[pl.ds(i * th, rows_dma), :], cds, sem.at[1])
     t0_dma.start()
     cd_dma.start()
     t0_dma.wait()
@@ -97,7 +105,7 @@ def _kernel(t0_hbm, cd_hbm, cdc_ref, out_thc, t0s, cds, hp, vc, ws, sem,
 
 
 def ring_thc_pallas_padded(t0_pad, cd_pad, cd_center, nn_max: int, *,
-                           tile_rows: int = 64, interpret: bool = False):
+                           tile_rows: int = 32, interpret: bool = False):
     """Fused ring search on NN-padded fields.
 
     t0_pad, cd_pad : (h+2NN, w+2NN) f32 — padded sea-level temperature and
@@ -125,8 +133,21 @@ def ring_thc_pallas_padded(t0_pad, cd_pad, cd_center, nn_max: int, *,
                          constant_values=np.float32(12000.0))
         cd_center = jnp.pad(cd_center, ((0, extra), (0, 0)))
 
+    # Align the per-tile DMA slice to the f32 tiling: rows to the sublane
+    # quantum (8), the full copied width to the lane quantum (128).  Extra
+    # rows/cols never enter a window sum (see kernel comment).
+    rows_dma = _round_up(th + 2 * NN, 8)
+    cols_dma = _round_up(w + 2 * NN, 128)
+    align_extra = max(0, (hp_rows - th + rows_dma) - (hp_rows + 2 * NN))
+    pad_c = cols_dma - (w + 2 * NN)
+    if align_extra > 0 or pad_c > 0:
+        t0_pad = jnp.pad(t0_pad, ((0, align_extra), (0, pad_c)))
+        cd_pad = jnp.pad(cd_pad, ((0, align_extra), (0, pad_c)),
+                         constant_values=np.float32(12000.0))
+
     out = pl.pallas_call(
-        functools.partial(_kernel, nn_max=NN, th=th, w=w),
+        functools.partial(_kernel, nn_max=NN, th=th, w=w, rows_dma=rows_dma,
+                          cols_dma=cols_dma),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # t0_pad
@@ -138,10 +159,10 @@ def ring_thc_pallas_padded(t0_pad, cd_pad, cd_center, nn_max: int, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp_rows, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * NN, w + 2 * NN), jnp.float32),   # t0 strip
-            pltpu.VMEM((th + 2 * NN, w + 2 * NN), jnp.float32),   # cd strip
-            pltpu.VMEM((4, th + 2 * NN, w), jnp.float32),         # hp
-            pltpu.VMEM((4, th, w + 2 * NN), jnp.float32),         # vc
+            pltpu.VMEM((rows_dma, cols_dma), jnp.float32),        # t0 strip
+            pltpu.VMEM((rows_dma, cols_dma), jnp.float32),        # cd strip
+            pltpu.VMEM((4, rows_dma, w), jnp.float32),            # hp
+            pltpu.VMEM((4, th, cols_dma), jnp.float32),           # vc
             pltpu.VMEM((4, th, w), jnp.float32),                  # ws
             pltpu.SemaphoreType.DMA((2,)),
         ],

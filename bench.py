@@ -111,15 +111,25 @@ def run(grid_name: str, steps: int, nlev: int, use_pallas: bool,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", default="global025", choices=sorted(GRIDS))
-    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=32,
+                    help="timesteps per scan call; large enough that the "
+                         "per-dispatch tunnel latency (~20 ms on axon) is "
+                         "amortized and the number reflects the pipeline")
     ap.add_argument("--nlev", type=int, default=4)
-    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--pallas", default=None, action="store_true",
+                    help="force the fused Pallas kernels (default: auto — "
+                         "on for TPU backends, off elsewhere)")
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false")
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
     _enable_compile_cache()
     import jax
     platform = jax.devices()[0].platform
+    if args.pallas is None:
+        # Auto: the fused Pallas kernels are the production path on TPU
+        # (~1.6x the XLA path); fall back to pure-XLA elsewhere.
+        args.pallas = platform not in ("cpu", "gpu")
 
     throughput, step_s, k, nn = run(args.grid, args.steps, args.nlev,
                                     args.pallas, args.repeats)

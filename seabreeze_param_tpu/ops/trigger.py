@@ -36,13 +36,26 @@ def wind_at_level(u, v, pres, target_plev_pa):
     p_lev = first argmin of |p - target| (seabreeze_diag_python.f90:228);
     speed = sqrt(u^2 + v^2); direction = atan2(-u, -v) * rad2deg
     (seabreeze_diag_python.f90:231-233) — meteorological "from" convention.
+
+    ``pres`` may be 1-D (nlev,) — the python_wrapper contract — or 3-D
+    (nlev, nlat, nlon) pressure on rho levels, the UM coupling contract
+    (``UM/vn10.7/sea_breeze_diag.F90:79-82``) where the nearest level is
+    found *per column* (the UM's early-exit scan over k,
+    ``UM/...F90:265-274``; argmin returns the same first minimum because
+    |p - target| is unimodal along a monotone pressure column).
     """
     p = jnp.asarray(pres, jnp.float32)
-    p_lev = jnp.argmin(jnp.abs(p - jnp.float32(target_plev_pa)))
-    ul = lax.dynamic_index_in_dim(jnp.asarray(u, jnp.float32), p_lev, 0,
-                                  keepdims=False)
-    vl = lax.dynamic_index_in_dim(jnp.asarray(v, jnp.float32), p_lev, 0,
-                                  keepdims=False)
+    u = jnp.asarray(u, jnp.float32)
+    v = jnp.asarray(v, jnp.float32)
+    if p.ndim == 1:
+        p_lev = jnp.argmin(jnp.abs(p - jnp.float32(target_plev_pa)))
+        ul = lax.dynamic_index_in_dim(u, p_lev, 0, keepdims=False)
+        vl = lax.dynamic_index_in_dim(v, p_lev, 0, keepdims=False)
+    else:
+        p_lev = jnp.argmin(jnp.abs(p - jnp.float32(target_plev_pa)),
+                           axis=0)[None]                      # (1, lat, lon)
+        ul = jnp.take_along_axis(u, p_lev, axis=0)[0]
+        vl = jnp.take_along_axis(v, p_lev, axis=0)[0]
     speed = jnp.sqrt(ul * ul + vl * vl)
     direction = jnp.arctan2(-ul, -vl) * RAD2DEG_TRIGGER
     return speed, direction

@@ -1,14 +1,15 @@
 #!/usr/bin/env python
 """Per-stage device timing of the trigger pipeline.
 
-Times each pipeline stage (coastline Sobel, coast-distance transform, ring
-THC search, trigger elementwise tail, full fused step) as its own jitted
-program on the current backend, so optimization effort goes where the
-milliseconds are.  Stage timings measured standalone slightly overcount the
-fused total (XLA fuses across stage boundaries in the real step), so the
-full-step time is also printed.
+Each pipeline stage (coastline Sobel, coast-distance transform, ring THC
+search, trigger step, full fused step) is timed as a ``lax.scan`` of ITERS
+iterations inside ONE jitted dispatch, so the per-dispatch host/tunnel
+latency (~25 ms on axon backends) is amortized away and the numbers reflect
+real device time per stage.  The scan carry perturbs each stage's inputs so
+XLA cannot hoist the stage out of the loop.
 
-Usage: python benchmarks/profile_stages.py [--grid global025] [--pallas/--no-pallas]
+Usage: python benchmarks/profile_stages.py [--grid global025]
+       [--pallas/--no-pallas] [--iters 64]
 """
 from __future__ import annotations
 
@@ -22,23 +23,31 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from bench import GRIDS, make_world  # noqa: E402
 
 
-def timeit(fn, *args, repeats=5):
+def timeit_scanned(make_scan_fn, init_carry, iters, repeats=3):
+    """Time ``lax.scan(scan_fn, carry, length=iters)`` per iteration."""
     import jax
-    out = fn(*args)
+    from jax import lax
+
+    @jax.jit
+    def run(carry):
+        return lax.scan(make_scan_fn, carry, None, length=iters)
+
+    out = run(init_carry)
     jax.block_until_ready(out)
     best = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = run(init_carry)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best / iters
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", default="global025", choices=sorted(GRIDS))
     ap.add_argument("--nlev", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--pallas", default=None, action="store_true")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
     args = ap.parse_args()
@@ -71,33 +80,53 @@ def main():
     u_d, v_d = jnp.asarray(u[0]), jnp.asarray(v[0])
     z_d, std_d, pres_d = jnp.asarray(z), jnp.asarray(std), jnp.asarray(pres)
 
-    f_edges = jax.jit(lambda l, c: get_edges(l, c))
-    coast = f_edges(lsm_d, ci_d)
-
-    f_dist = jax.jit(lambda c, l: coast_distance(
-        c, l, grid, params.maxdist, use_pallas=args.pallas))
-    cdist = f_dist(coast, lsm_d)
-
+    coast = jax.jit(lambda l, c: get_edges(l, c))(lsm_d, ci_d)
+    cdist = jax.jit(lambda c, l: coast_distance(
+        c, l, grid, params.maxdist, use_pallas=args.pallas))(coast, lsm_d)
     state = TriggerState.zeros((nlat, nlon))
-    f_trig = jax.jit(lambda s, t, uu, vv, cd: trigger_step(
-        s, t, uu, vv, cd, z_d, std_d, pres_d, params, pipe.nn_max,
-        use_pallas=args.pallas))
-    f_wind = jax.jit(lambda uu, vv: wind_at_level(
-        uu, vv, pres_d, params.target_plev_pa))
-    f_step = jax.jit(lambda s, t, uu, vv, c: pipe.step(
-        s, t, uu, vv, lsm_d, z_d, std_d, pres_d, ci=c))
 
+    # Every scan body perturbs its field input with the loop carry (a
+    # scalar), so the stage re-executes each iteration.
+    def edges_body(c, _):
+        out = get_edges(lsm_d + c, ci_d)
+        return c + out[0, 0] * 0.0, None
+
+    def dist_body(c, _):
+        out = coast_distance(coast + c * 0.0, lsm_d, grid, params.maxdist,
+                             use_pallas=args.pallas)
+        return c + out[0, 0] * 0.0, None
+
+    def trig_body(carry, _):
+        s, c = carry
+        s2, out = trigger_step(s, th_d + c, u_d, v_d, cdist, z_d, std_d,
+                               pres_d, params, pipe.nn_max,
+                               use_pallas=args.pallas)
+        return (s2, c + out["sb_con"][0, 0] * 0.0), None
+
+    def wind_body(c, _):
+        ws, wd = wind_at_level(u_d + c, v_d, pres_d, params.target_plev_pa)
+        return c + ws[0, 0] * 0.0, None
+
+    def step_body(carry, _):
+        s, c = carry
+        s2, out = pipe.step(s, th_d + c, u_d, v_d, lsm_d, z_d, std_d, pres_d,
+                            ci=ci_d)
+        return (s2, c + out["sb_con"][0, 0] * 0.0), None
+
+    z0 = jnp.float32(0.0)
     rows = [
-        ("get_edges (sobel)", timeit(f_edges, lsm_d, ci_d)),
-        ("coast_distance", timeit(f_dist, coast, lsm_d)),
-        ("trigger_step (ring+tail)", timeit(f_trig, state, th_d, u_d, v_d,
-                                            cdist)),
-        ("  wind_at_level only", timeit(f_wind, u_d, v_d)),
-        ("FULL step (fused)", timeit(f_step, state, th_d, u_d, v_d, ci_d)),
+        ("get_edges (sobel)", timeit_scanned(edges_body, z0, args.iters)),
+        ("coast_distance", timeit_scanned(dist_body, z0, args.iters)),
+        ("trigger_step (ring+tail)",
+         timeit_scanned(trig_body, (state, z0), args.iters)),
+        ("  wind_at_level only", timeit_scanned(wind_body, z0, args.iters)),
+        ("FULL step (fused)",
+         timeit_scanned(step_body, (TriggerState.zeros((nlat, nlon)), z0),
+                        args.iters)),
     ]
     print(f"# {args.grid} ({nlat}x{nlon}) nlev={args.nlev} "
           f"pallas={args.pallas} platform={platform} "
-          f"k={pipe.k} nn={pipe.nn_max}")
+          f"k={pipe.k} nn={pipe.nn_max} iters={args.iters}")
     for name, t in rows:
         print(f"{name:28s} {t*1e3:8.3f} ms")
 

@@ -26,6 +26,8 @@ from ..io import Config, Meta, read_nc
 
 def main(config, progress=sys.stdout, **diag_kwargs):
     """Run the batch pipeline; returns the final (tt, thc, ws, wd) state."""
+    from ..io.native_nc import PrefetchPool
+
     cfg = Config(config)
     meta = Meta(cfg)
     thc = np.zeros((len(meta.lat), len(meta.lon)), np.float32)
@@ -33,7 +35,15 @@ def main(config, progress=sys.stdout, **diag_kwargs):
     winddir = np.zeros_like(thc)
     tt = 1
     written = []
-    for tstring in meta.dates:
+    invars = (cfg.vv, cfg.vu, cfg.vtheta, cfg.vci)
+    pool = PrefetchPool(2)   # no-op when no native toolchain
+    for step, tstring in enumerate(meta.dates):
+        # Warm the NEXT file set into the page cache on native C++ threads
+        # while this step computes (the reference reads cold and serially,
+        # test_run.py:18-30).
+        if step + 1 < len(meta.dates):
+            nxt = meta.dates[step + 1]
+            pool.prefetch(*(meta.input_path(v, nxt) for v in invars))
         f_sb = meta.input_path("sb", tstring)
         if progress:
             progress.write("Creating sea-breeze data for "
@@ -60,6 +70,7 @@ def main(config, progress=sys.stdout, **diag_kwargs):
         if progress:
             progress.write("ok\n")
             progress.flush()
+    pool.close()
     return tt, thc, windspeed, winddir, written
 
 

@@ -95,6 +95,8 @@ class Variable:
 
     @property
     def dimensions(self):
+        if self._backend == "native":
+            return self._raw.dimensions
         if self._backend == "h5":
             dims = []
             for i, dim in enumerate(self._raw.dims):
@@ -112,12 +114,18 @@ class Variable:
             return [k for k in self._raw.attrs
                     if not k.startswith(("_Netcdf4", "DIMENSION", "CLASS",
                                          "NAME", "REFERENCE_LIST"))]
+        if self._backend == "native":
+            return sorted(self._raw.attrs())
         return sorted(self._raw._attributes)
 
     def __getattr__(self, key):
         try:
             if self._backend == "h5":
                 val = self._raw.attrs[key]
+            elif self._backend == "native":
+                val = self._raw.att(key)
+                if val is None:
+                    raise KeyError(key)
             else:
                 val = self._raw._attributes[key]
         except KeyError:
@@ -129,6 +137,8 @@ class Variable:
     def setncattr(self, key, value):
         if self._backend == "h5":
             self._raw.attrs[key] = value
+        elif self._backend == "native":
+            raise OSError("native netCDF backend is read-only")
         else:
             setattr(self._raw, key, value)
 
@@ -153,6 +163,8 @@ class Variable:
         return data
 
     def __setitem__(self, key, value):
+        if self._backend == "native":
+            raise OSError("native netCDF backend is read-only")
         if self._backend == "scipy":
             self._raw[key] = value
             return
@@ -179,9 +191,20 @@ class Dataset:
         self.filename = os.path.expanduser(str(filename))
         self.mode = mode
         self._scipy = None
+        self._native = None
         if mode == "r" and not h5py.is_hdf5(self.filename):
-            from scipy.io import netcdf_file
-            self._scipy = netcdf_file(self.filename, "r", mmap=False)
+            # classic netCDF: prefer the native mmap reader
+            # (native/ncreader.cc — GIL-free reads, prefetch-friendly),
+            # fall back to scipy where no toolchain exists.
+            from . import native_nc
+            if native_nc.available():
+                try:
+                    self._native = native_nc.NativeNCFile(self.filename)
+                except IOError:
+                    self._native = None
+            if self._native is None:
+                from scipy.io import netcdf_file
+                self._scipy = netcdf_file(self.filename, "r", mmap=False)
             self._h5 = None
         else:
             self._h5 = h5py.File(self.filename, mode)
@@ -196,6 +219,9 @@ class Dataset:
                 import h5py
                 if isinstance(node, h5py.Dataset):
                     out[name] = Variable(self, name, node, "h5")
+        elif self._native is not None:
+            for name, var in self._native.variables.items():
+                out[name] = Variable(self, name, var, "native")
         else:
             for name, var in self._scipy.variables.items():
                 out[name] = Variable(self, name, var, "scipy")
@@ -209,6 +235,17 @@ class Dataset:
                 if node.attrs.get("CLASS") == b"DIMENSION_SCALE":
                     dims[name] = node.shape[0]
             dims.update(self._dims)
+            return dims
+        if self._native is not None:
+            import ctypes
+            from . import native_nc
+            L = native_nc.lib()
+            dims = {}
+            buf = ctypes.create_string_buffer(256)
+            ln = ctypes.c_longlong()
+            for di in range(L.ncr_ndims(self._native._h)):
+                L.ncr_dim(self._native._h, di, buf, 256, ctypes.byref(ln))
+                dims[buf.value.decode()] = int(ln.value)
             return dims
         return dict(self._scipy.dimensions)
 
@@ -254,6 +291,8 @@ class Dataset:
             self._h5.close()
         if self._scipy is not None:
             self._scipy.close()
+        if self._native is not None:
+            self._native.close()
 
     def __enter__(self):
         return self

@@ -13,14 +13,18 @@ Fuses both passes of the separable haversine-parameter min
 empty row-windows are poisoned — see ops.distance for the exactness proof).
 
 The XLA fori_loop version re-reads the field from HBM on every one of the
-~2*(2k+1) sliced passes; here each row tile (plus its 2k-row apron) is DMA'd
-into VMEM once and all 2*(2k+1) min steps run on-chip, so the kernel is one
-HBM read of the coast field + one HBM write of the result — the pipeline is
-memory-bound, so this is the speed-of-light shape for the op.
+~2*(2k+1) sliced passes; here each (tile_rows, tile_cols) tile plus its
+2k-wide apron is DMA'd into VMEM once and all min steps run on-chip.
 
-Grid: 1-D over row tiles.  The apron overlap between adjacent tiles cannot
-be expressed with regular BlockSpec tiling, so the coast field stays in
-ANY/HBM and each tile slice is copied with an explicit async DMA.
+**Coast sparsity.**  A tile whose strip (tile + apron) contains no coastline
+cell can only produce the poisoned value BIG (no window has any source), so
+the kernel writes BIG and skips both passes — bit-identical to the dense
+result.  Coastlines cover a small fraction of a global grid, so most tiles
+skip.  The 2-D tiling gives the predicate spatial resolution in both axes.
+
+Grid: 2-D over (row, col) tiles.  The apron overlap between adjacent tiles
+cannot be expressed with regular BlockSpec tiling, so the coast field stays
+in ANY/HBM and each tile slice is copied with an explicit async DMA.
 """
 from __future__ import annotations
 
@@ -39,113 +43,131 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _kernel(cpad_hbm, sdphi2_ref, po_ref, sdlam2t_ref, out_ref, scr,
-            mmin_scr, mmax_scr, sem, *, k: int, th: int, w: int,
-            rows_dma: int):
+def _kernel(cpad_hbm, sdphi2_ref, po_ref, sdlam2t_ref, out_ref, scr, sem,
+            *, k: int, th: int, tw: int, rows_dma: int, cols_dma: int):
     i = pl.program_id(0)
+    j = pl.program_id(1)
     nwin = 2 * k + 1
 
-    # Tile rows [i*th, i*th + rows_dma) of the padded coast field -> VMEM.
-    # rows_dma = th + 2k rounded up to the f32 sublane tiling (8): Mosaic
-    # requires DMA slice shapes tile-aligned on the second-minor dim.  The
-    # extra rows are zero-padded in HBM (never coast sources) and land in
-    # mmin rows >= th + 2k, which no pass-2 window (di <= 2k) ever reads.
+    # Tile strip [i*th, i*th + rows_dma) x [j*tw, j*tw + cols_dma) of the
+    # padded coast field -> VMEM.  rows_dma/cols_dma are the apron-extended
+    # tile rounded up to the f32 tiling quanta (Mosaic requires tile-aligned
+    # DMA slice shapes); the extra rows/cols are zero-padded in HBM (never
+    # coast sources) and land beyond every window slice that is kept.
     dma = pltpu.make_async_copy(
-        cpad_hbm.at[pl.ds(i * th, rows_dma), :], scr, sem)
+        cpad_hbm.at[pl.ds(i * th, rows_dma), pl.ds(j * tw, cols_dma)],
+        scr, sem)
     dma.start()
     dma.wait()
 
-    # --- pass 1: masked sliding min/max of sdlam2 over the lon window -----
-    mmin_scr[:] = jnp.full((rows_dma, w), BIG_PARAM, jnp.float32)
-    mmax_scr[:] = jnp.full((rows_dma, w), -BIG_PARAM, jnp.float32)
-    for dj in range(nwin):
-        coast_w = scr[:, dj:dj + w] > 0.0
-        cand = sdlam2t_ref[dj:dj + 1, :]           # (1, w) broadcasts
-        mmin_scr[:] = jnp.where(coast_w, jnp.minimum(mmin_scr[:], cand),
-                                mmin_scr[:])
-        mmax_scr[:] = jnp.where(coast_w, jnp.maximum(mmax_scr[:], cand),
-                                mmax_scr[:])
+    # Sparsity: no coast source anywhere in the strip -> every window is
+    # empty -> amin == BIG everywhere, exactly the dense result.
+    any_coast = jnp.any(scr[:] > 0.0)
 
-    # --- pass 2: min over the lat window, empty windows poisoned ----------
-    amin = jnp.full((th, w), BIG_PARAM, jnp.float32)
-    for di in range(nwin):
-        lo = mmin_scr[di:di + th, :]
-        hi = mmax_scr[di:di + th, :]
-        p = po_ref[:, di:di + 1]
-        cand = sdphi2_ref[:, di:di + 1] + jnp.minimum(p * lo, p * hi)
-        cand = jnp.where(lo > BIG_PARAM / 2, BIG_PARAM, cand)
-        amin = jnp.minimum(amin, cand)
-    out_ref[:] = amin
+    @pl.when(jnp.logical_not(any_coast))
+    def _skip():
+        out_ref[:] = jnp.full((th, tw), BIG_PARAM, jnp.float32)
+
+    @pl.when(any_coast)
+    def _compute():
+        # --- pass 1: masked sliding min/max of sdlam2 over the lon window --
+        # (SSA values, not scratch refs: Mosaic schedules/spills them itself
+        # instead of a VMEM load+store round-trip per dj step)
+        mmin = jnp.full((rows_dma, tw), BIG_PARAM, jnp.float32)
+        mmax = jnp.full((rows_dma, tw), -BIG_PARAM, jnp.float32)
+        for dj in range(nwin):
+            coast_w = scr[:, dj:dj + tw] > 0.0
+            cand = sdlam2t_ref[dj:dj + 1, :]           # (1, tw) broadcasts
+            mmin = jnp.where(coast_w, jnp.minimum(mmin, cand), mmin)
+            mmax = jnp.where(coast_w, jnp.maximum(mmax, cand), mmax)
+
+        # --- pass 2: min over the lat window, empty windows poisoned ------
+        amin = jnp.full((th, tw), BIG_PARAM, jnp.float32)
+        for di in range(nwin):
+            lo = mmin[di:di + th, :]
+            hi = mmax[di:di + th, :]
+            p = po_ref[:, di:di + 1]
+            cand = sdphi2_ref[:, di:di + 1] + jnp.minimum(p * lo, p * hi)
+            cand = jnp.where(lo > BIG_PARAM / 2, BIG_PARAM, cand)
+            amin = jnp.minimum(amin, cand)
+        out_ref[:] = amin
 
 
 def min_haversine_param_pallas_padded(cpad, sdphi2, po, sdlam2, k: int,
                                       *, tile_rows: int = 128,
+                                      tile_cols: int = 512,
                                       interpret: bool = False):
     """Pallas form of ``min_haversine_param_from_padded`` (same contract)."""
     k = int(k)
     h = cpad.shape[0] - 2 * k
     w = cpad.shape[1] - 2 * k
     th = min(tile_rows, h)
-    ntiles = -(-h // th)
-    hp = ntiles * th
+    tw = min(tile_cols, w)
+    ni = -(-h // th)
+    nj = -(-w // tw)
+    hp = ni * th
+    wp = nj * tw
     if hp != h:
-        # Row-pad so the grid divides evenly: extra rows are poisoned
+        # Row-pad so the grid divides evenly: extra target rows are poisoned
         # (sdphi2=BIG, po=0 -> amin=BIG) and sliced off below.
-        cpad = jnp.pad(cpad, ((0, hp - h), (0, 0)))
         sdphi2 = jnp.pad(jnp.asarray(sdphi2), ((0, hp - h), (0, 0)),
                          constant_values=BIG_PARAM)
         po = jnp.pad(jnp.asarray(po), ((0, hp - h), (0, 0)))
 
-    # Align the per-tile DMA slice to the f32 tiling: rows to the sublane
-    # quantum (8), the full copied width to the lane quantum (128).  The
-    # padding is zeros = never coast sources, so results are unchanged.
+    # Per-tile DMA slices aligned to the f32 tiling quanta; the HBM array
+    # must contain every tile's slice.  Zero padding = never coast sources.
     rows_dma = _round_up(th + 2 * k, 8)
-    cols_dma = _round_up(w + 2 * k, 128)
-    extra = (hp - th + rows_dma) - (hp + 2 * k)
-    pad_c = cols_dma - (w + 2 * k)
-    if extra > 0 or pad_c > 0:
-        cpad = jnp.pad(cpad, ((0, max(extra, 0)), (0, pad_c)))
+    cols_dma = _round_up(tw + 2 * k, 128)
+    need_r = (ni - 1) * th + rows_dma
+    need_c = (nj - 1) * tw + cols_dma
+    pad_r = max(0, need_r - (h + 2 * k))
+    pad_c = max(0, need_c - (w + 2 * k))
+    if pad_r or pad_c:
+        cpad = jnp.pad(cpad, ((0, pad_r), (0, pad_c)))
+    # Column-table slices per column tile: sdlam2^T laid out (2k+1, w),
+    # padded to every tile's (2k+1, tw) block.
+    sdlam2t = jnp.asarray(sdlam2).T                 # (2k+1, w)
+    if wp != w:
+        sdlam2t = jnp.pad(sdlam2t, ((0, 0), (0, wp - w)))
 
     nwin = 2 * k + 1
-    sdlam2t = jnp.asarray(sdlam2).T                 # (2k+1, w)
-
     out = pl.pallas_call(
-        functools.partial(_kernel, k=k, th=th, w=w, rows_dma=rows_dma),
-        grid=(ntiles,),
+        functools.partial(_kernel, k=k, th=th, tw=tw, rows_dma=rows_dma,
+                          cols_dma=cols_dma),
+        grid=(ni, nj),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                    # cpad
-            pl.BlockSpec((th, nwin), lambda i: (i, 0),
+            pl.BlockSpec((th, nwin), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),                # sdphi2
-            pl.BlockSpec((th, nwin), lambda i: (i, 0),
+            pl.BlockSpec((th, nwin), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),                # po
-            pl.BlockSpec((nwin, w), lambda i: (0, 0),
+            pl.BlockSpec((nwin, tw), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),                # sdlam2^T
         ],
-        out_specs=pl.BlockSpec((th, w), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rows_dma, cols_dma), jnp.float32),        # tile
-            pltpu.VMEM((rows_dma, w), jnp.float32),               # Mmin
-            pltpu.VMEM((rows_dma, w), jnp.float32),               # Mmax
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * nwin * hp * w,
-            bytes_accessed=4 * (hp + 2 * k) * (w + 2 * k) + 4 * hp * w,
+            flops=2 * 2 * nwin * hp * wp,
+            bytes_accessed=4 * (h + 2 * k) * (w + 2 * k) + 4 * hp * wp,
             transcendentals=0,
         ),
         interpret=interpret,
     )(jnp.asarray(cpad, jnp.float32), jnp.asarray(sdphi2),
       jnp.asarray(po), sdlam2t)
-    return out[:h]
+    return out[:h, :w]
 
 
 def min_haversine_param_pallas(coast, sdphi2, po, sdlam2, k: int,
-                               *, tile_rows: int = 128,
+                               *, tile_rows: int = 128, tile_cols: int = 512,
                                interpret: bool = False):
     """Single-device wrapper: zero-pad lat, wrap lon, run the kernel."""
     cpad = jnp.pad(jnp.asarray(coast, jnp.float32), ((k, k), (0, 0)))
     cpad = jnp.pad(cpad, ((0, 0), (k, k)), mode="wrap")
     return min_haversine_param_pallas_padded(
-        cpad, sdphi2, po, sdlam2, k, tile_rows=tile_rows, interpret=interpret)
+        cpad, sdphi2, po, sdlam2, k, tile_rows=tile_rows,
+        tile_cols=tile_cols, interpret=interpret)

@@ -2,21 +2,28 @@
 
 The ring search (``ops.ring_search.ring_thc_from_padded``; reference
 data-dependent while loop ``seabreeze_diag_python.f90:187-221``) is the
-pipeline's dominant HBM consumer in XLA form: every one of the NN
-incremental-window steps re-reads sliced copies of the 4-channel quantity
-stack from HBM (~30 sliced passes at NN=10).  Here each row tile (plus its
-NN-row apron) is DMA'd into VMEM once; the horizontal/vertical running
-sums, all NN window updates, and the found-select all run on-chip — one
-HBM read of (t0, cdist) + one write of (n_thc) total, the speed-of-light
-shape for this memory-bound op.
+pipeline's dominant VPU consumer: NN incremental-window steps over three
+quantity channels.  Here each (tile_rows, tile_cols) tile (plus its NN-wide
+apron) is DMA'd into VMEM once; the horizontal/vertical running sums, all NN
+window updates, and the found-select all run on-chip — one HBM read of
+(t0, cdist) + one write of (n_thc) total.
 
-The quantity channels are formed in VMEM from the two raw fields (land
-class = ``cdist >= 0`` on the final field, sentinel cells land — the
-reference quirk, ``seabreeze_diag_python.f90:204``), so HBM traffic is 2
-input channels instead of the XLA path's pre-materialized 4.
+Two structural optimizations over a straight port of the XLA form:
 
-Grid: 1-D over row tiles; apron overlap requires ANY memory + manual DMA
-(regular BlockSpec tiling cannot overlap), as in ``distance_kernel``.
+* **Coastal-band sparsity.**  The reference only searches cells with
+  |cdist| <= maxdist (seabreeze_diag_python.f90:171) — a thin band around
+  coastlines, typically a few percent of a global grid.  Tiles whose center
+  block contains no such cell skip the DMA and the whole NN loop and write
+  zeros (exactly the masked value the dense path produces there).  The 2-D
+  tiling exists so this predicate has spatial resolution in both axes.
+
+* **Three channels, not four.**  Window cells are always genuine grid values
+  (land + sea = 1), so the sea count is exactly (2nn+1)^2 - n_land in
+  float32 (integer-valued); only t0*land, land, t0*sea are summed.  See
+  ``ops.ring_search.ring_quantities``.
+
+Grid: 2-D over (row, col) tiles; apron overlap requires ANY memory + manual
+DMA (regular BlockSpec tiling cannot overlap), as in ``distance_kernel``.
 """
 from __future__ import annotations
 
@@ -28,151 +35,198 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_SENTINEL = np.float32(12000.0)
+
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _kernel(t0_hbm, cd_hbm, cdc_ref, out_thc, t0s, cds, hp, vc, ws, sem,
-            *, nn_max: int, th: int, w: int, rows_dma: int, cols_dma: int):
+def _kernel(t0_hbm, cd_hbm, cdc_ref, out_thc, t0s, cds, hp, vc, ws, lat,
+            done, sem, *, nn_max: int, th: int, tw: int, rows_dma: int,
+            cols_dma: int, maxdist: float):
     i = pl.program_id(0)
+    j = pl.program_id(1)
     NN = int(nn_max)
 
-    # rows_dma = th + 2NN rounded up to the f32 sublane tiling (8): Mosaic
-    # requires tile-aligned DMA slice shapes.  Extra rows (zero-padded in
-    # HBM) sit at strip indices >= th + 2NN, beyond every window slice
-    # (max offset NN+nn+th <= th + 2NN), so they never enter a sum.
-    t0_dma = pltpu.make_async_copy(
-        t0_hbm.at[pl.ds(i * th, rows_dma), :], t0s, sem.at[0])
-    cd_dma = pltpu.make_async_copy(
-        cd_hbm.at[pl.ds(i * th, rows_dma), :], cds, sem.at[1])
-    t0_dma.start()
-    cd_dma.start()
-    t0_dma.wait()
-    cd_dma.wait()
+    # Coastal-band predicate on the center block: tiles with no coastal
+    # target cell produce all-zero output without touching HBM again.
+    coastal_c = jnp.abs(cdc_ref[:]) <= jnp.float32(maxdist)
+    any_coastal = jnp.any(coastal_c)
 
-    # Quantity channels in VMEM (t0*land exact, land indicator).
-    land = (cds[:] >= 0.0).astype(jnp.float32)           # (th+2NN, w+2NN)
-    tl = t0s[:] * land
-    # Running-sum state at order 0 (see ops.ring_search docstring):
-    #   hp[c] : horizontal sums over all rows        (th+2NN, w)
-    #   vc[c] : vertical sums over the center rows   (th, w+2NN)
-    #   ws[c] : window sums over the center block    (th, w)
-    # Channels: 0 = t0*land, 1 = land, 2 = t0*sea, 3 = sea.
-    ts = t0s[:] - tl                                      # exact: tl is t0|0
-    sea = 1.0 - land
-    tss = t0s[:] * 0.0 + ts                               # keep names clear
-    for c, q in ((0, tl), (1, land), (2, tss), (3, sea)):
-        hp[c] = q[:, NN:NN + w]
-        vc[c] = q[NN:NN + th, :]
-        ws[c] = q[NN:NN + th, NN:NN + w]
+    @pl.when(jnp.logical_not(any_coastal))
+    def _skip():
+        out_thc[:] = jnp.zeros((th, tw), jnp.float32)
 
-    found = jnp.zeros((th, w), jnp.bool_)
-    n_thc = jnp.zeros((th, w), jnp.float32)
-    # mul comes from the UNPADDED center (cdc_ref): the quirky lon pad maps
-    # the last column onto column 0 inside the strip, so the strip center is
-    # not the identity (ops.indexing.remap_lon_quirky) — but the reference
-    # takes the target's own class unremapped (seabreeze_diag_python.f90:220).
-    mul = jnp.where(cdc_ref[:] >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
-    quants = (tl, land, tss, sea)
+    @pl.when(any_coastal)
+    def _compute():
+        # rows_dma/cols_dma: the tile + 2NN apron rounded up to the f32
+        # tiling quanta (8 sublanes, 128 lanes): Mosaic requires tile-aligned
+        # DMA slice shapes.  Extra rows/cols (zero/sentinel-padded in HBM)
+        # sit beyond every window slice of the real target cells, so they
+        # never enter a sum that is kept.
+        t0_dma = pltpu.make_async_copy(
+            t0_hbm.at[pl.ds(i * th, rows_dma), pl.ds(j * tw, cols_dma)],
+            t0s, sem.at[0])
+        cd_dma = pltpu.make_async_copy(
+            cd_hbm.at[pl.ds(i * th, rows_dma), pl.ds(j * tw, cols_dma)],
+            cds, sem.at[1])
+        t0_dma.start()
+        cd_dma.start()
+        t0_dma.wait()
+        cd_dma.wait()
 
-    val = n_thc
-    for nn in range(1, NN + 1):
-        for c in range(4):
-            q = quants[c]
-            # widen the horizontal running sum to order nn
-            hp[c] = (hp[c] + q[:, NN - nn:NN - nn + w]
-                     + q[:, NN + nn:NN + nn + w])
-            top = hp[c, NN - nn:NN - nn + th, :]
-            bot = hp[c, NN + nn:NN + nn + th, :]
-            # vertical running sum is at order nn-1 (excludes the new rows)
-            left = vc[c, :, NN - nn:NN - nn + w]
-            right = vc[c, :, NN + nn:NN + nn + w]
-            ws[c] = ws[c] + top + bot + left + right
-            # then widen the vertical running sum for the next iteration
-            vc[c] = (vc[c] + q[NN - nn:NN - nn + th, :]
-                     + q[NN + nn:NN + nn + th, :])
-        t_l, n_l, t_s, n_s = ws[0], ws[1], ws[2], ws[3]
-        ok = (n_l > 0.0) & (n_s > 0.0)
-        newly = ok & (~found)
-        val = mul * (t_l / jnp.maximum(n_l, 1.0)
-                     - t_s / jnp.maximum(n_s, 1.0))
-        n_thc = jnp.where(newly, val, n_thc)
-        found = found | ok
+        # Quantity channels in VMEM (ops.ring_search.ring_quantities):
+        # 0 = t0*land, 1 = land, 2 = t0*sea (exact complement t0 - t0*land).
+        land = (cds[:] >= 0.0).astype(jnp.float32)       # (rows, cols)
+        tl = t0s[:] * land
+        tss = t0s[:] - tl
+        quants = (tl, land, tss)
+        # Running-sum state at order 0:
+        #   hp[c] : horizontal sums over all rows        (rows_dma, tw)
+        #   vc[c] : vertical sums over the center rows   (th, cols_dma)
+        #   ws[c] : window sums over the center block    (th, tw)
+        for c, q in ((0, tl), (1, land), (2, tss)):
+            hp[c] = q[:, NN:NN + tw]
+            vc[c] = q[NN:NN + th, :]
+            ws[c] = q[NN:NN + th, NN:NN + tw]
 
-    # never-found fallback: the NN-window value (ops.ring_search semantics)
-    out_thc[:] = jnp.where(found, n_thc, val)
+        # lat[0..3] latch the per-class sums at each cell's first-found
+        # radius (one division at the very end, not two per nn); lat[4] is
+        # the found mask (as f32).  See ops.ring_search.
+        lat[0] = jnp.zeros((th, tw), jnp.float32)
+        lat[1] = jnp.ones((th, tw), jnp.float32)
+        lat[2] = jnp.zeros((th, tw), jnp.float32)
+        lat[3] = jnp.ones((th, tw), jnp.float32)
+        lat[4] = jnp.zeros((th, tw), jnp.float32)
+        done[0] = jnp.int32(0)
+
+        for nn in range(1, NN + 1):
+            # Early exit: once every coastal cell in the tile has latched,
+            # the remaining ring expansions cannot change the (masked)
+            # output — skip them.  Typical coastal tiles finish in a few
+            # rings; only band-edge cells need the full k+2 bound.
+            @pl.when(done[0] == 0)
+            def _ring(nn=nn):
+                for c in range(3):
+                    q = quants[c]
+                    # widen the horizontal running sum to order nn
+                    hp[c] = (hp[c] + q[:, NN - nn:NN - nn + tw]
+                             + q[:, NN + nn:NN + nn + tw])
+                    top = hp[c, NN - nn:NN - nn + th, :]
+                    bot = hp[c, NN + nn:NN + nn + th, :]
+                    # vertical running sum is at order nn-1 (excl. new rows)
+                    left = vc[c, :, NN - nn:NN - nn + tw]
+                    right = vc[c, :, NN + nn:NN + nn + tw]
+                    ws[c] = ws[c] + top + bot + left + right
+                    # widen the vertical running sum for the next iteration
+                    vc[c] = (vc[c] + q[NN - nn:NN - nn + th, :]
+                             + q[NN + nn:NN + nn + th, :])
+                t_l, n_l, t_s = ws[0], ws[1], ws[2]
+                n_s = jnp.float32((2 * nn + 1) ** 2) - n_l    # exact
+                found = lat[4] > 0.0
+                ok = (n_l > 0.0) & (n_s > 0.0)
+                newly = ok & (~found)
+                # never-found cells take the last computed window (== the
+                # NN window when the tile never early-exits; early exit
+                # implies every *coastal* cell latched, and non-coastal
+                # outputs are masked to zero anyway)
+                last = newly | (~found & (nn == NN))
+                lat[0] = jnp.where(last, t_l, lat[0])
+                lat[1] = jnp.where(last, jnp.maximum(n_l, 1.0), lat[1])
+                lat[2] = jnp.where(last, t_s, lat[2])
+                lat[3] = jnp.where(last, jnp.maximum(n_s, 1.0), lat[3])
+                new_found = found | ok
+                lat[4] = new_found.astype(jnp.float32)
+                done[0] = jnp.all(new_found | ~coastal_c).astype(jnp.int32)
+
+        # mul comes from the UNPADDED center (cdc_ref): the quirky lon pad
+        # maps the last column onto column 0 inside the strip, but the
+        # reference takes the target's own class unremapped
+        # (seabreeze_diag_python.f90:220).
+        mul = jnp.where(cdc_ref[:] >= 0.0, jnp.float32(1.0),
+                        jnp.float32(-1.0))
+        n_thc = mul * (lat[0] / lat[1] - lat[2] / lat[3])
+        out_thc[:] = jnp.where(coastal_c, n_thc, jnp.float32(0.0))
 
 
 def ring_thc_pallas_padded(t0_pad, cd_pad, cd_center, nn_max: int, *,
-                           tile_rows: int = 32, interpret: bool = False):
+                           maxdist: float = 180.0, tile_rows: int = 64,
+                           tile_cols: int = 256, interpret: bool = False):
     """Fused ring search on NN-padded fields.
 
     t0_pad, cd_pad : (h+2NN, w+2NN) f32 — padded sea-level temperature and
         signed coast distance (pad via the exact boundary maps
         single-device, or halo exchange sharded).
-    cd_center : (h, w) f32 — the *unpadded* signed coast distance, used only
-        for the target-cell class sign (the quirky lon pad is not the
-        identity on its center, see kernel comment).
-    Returns n_thc (h, w) — same contract/semantics as
-    ``ops.ring_search.ring_thc_from_padded`` with channels formed from the
-    raw fields (t0*sea by exact complement, see module docstring).
+    cd_center : (h, w) f32 — the *unpadded* signed coast distance, used for
+        the target-cell class sign and the coastal-band mask.
+    maxdist : km — the coastal band |cdist| <= maxdist; output is zero
+        outside it (reference semantics: the search only runs there).
+    Returns n_thc (h, w) — same contract as
+    ``ops.ring_search.ring_thc_from_padded(..., coastal=...)``.
     """
     NN = int(nn_max)
     h = t0_pad.shape[0] - 2 * NN
     w = t0_pad.shape[1] - 2 * NN
     th = min(tile_rows, h)
-    ntiles = -(-h // th)
-    hp_rows = ntiles * th
-    if hp_rows != h:
-        # Row-pad the *top* of the apron region so the grid divides; the
-        # extra target rows compute garbage and are sliced off.
-        extra = hp_rows - h
-        t0_pad = jnp.pad(t0_pad, ((0, extra), (0, 0)))
-        cd_pad = jnp.pad(cd_pad, ((0, extra), (0, 0)),
-                         constant_values=np.float32(12000.0))
-        cd_center = jnp.pad(cd_center, ((0, extra), (0, 0)))
+    tw = min(tile_cols, w)
+    ni = -(-h // th)
+    nj = -(-w // tw)
+    hp_rows = ni * th
+    wp_cols = nj * tw
 
-    # Align the per-tile DMA slice to the f32 tiling: rows to the sublane
-    # quantum (8), the full copied width to the lane quantum (128).  Extra
-    # rows/cols never enter a window sum (see kernel comment).
+    # Align the per-tile DMA slices to the f32 tiling quanta.
     rows_dma = _round_up(th + 2 * NN, 8)
-    cols_dma = _round_up(w + 2 * NN, 128)
-    align_extra = max(0, (hp_rows - th + rows_dma) - (hp_rows + 2 * NN))
-    pad_c = cols_dma - (w + 2 * NN)
-    if align_extra > 0 or pad_c > 0:
-        t0_pad = jnp.pad(t0_pad, ((0, align_extra), (0, pad_c)))
-        cd_pad = jnp.pad(cd_pad, ((0, align_extra), (0, pad_c)),
-                         constant_values=np.float32(12000.0))
+    cols_dma = _round_up(tw + 2 * NN, 128)
+    # HBM padded-array extents every tile's DMA slice must fit in.
+    need_r = (ni - 1) * th + rows_dma
+    need_c = (nj - 1) * tw + cols_dma
+    pad_r = max(0, need_r - (h + 2 * NN))
+    pad_c = max(0, need_c - (w + 2 * NN))
+    if pad_r or pad_c:
+        # Fake rows/cols: t0 = 0, cdist = +sentinel (land class).  They are
+        # only read by windows of fake target cells (sliced off below) —
+        # real targets' windows stay inside the genuine padded region.
+        t0_pad = jnp.pad(t0_pad, ((0, pad_r), (0, pad_c)))
+        cd_pad = jnp.pad(cd_pad, ((0, pad_r), (0, pad_c)),
+                         constant_values=_SENTINEL)
+    if hp_rows != h or wp_cols != w:
+        # Center-block padding: sentinel -> not coastal -> those cells are
+        # never computed and are sliced off.
+        cd_center = jnp.pad(cd_center, ((0, hp_rows - h), (0, wp_cols - w)),
+                            constant_values=_SENTINEL)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, nn_max=NN, th=th, w=w, rows_dma=rows_dma,
-                          cols_dma=cols_dma),
-        grid=(ntiles,),
+        functools.partial(_kernel, nn_max=NN, th=th, tw=tw,
+                          rows_dma=rows_dma, cols_dma=cols_dma,
+                          maxdist=float(maxdist)),
+        grid=(ni, nj),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # t0_pad
             pl.BlockSpec(memory_space=pl.ANY),   # cd_pad
-            pl.BlockSpec((th, w), lambda i: (i, 0),
+            pl.BlockSpec((th, tw), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),  # cd_center
         ],
-        out_specs=pl.BlockSpec((th, w), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp_rows, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hp_rows, wp_cols), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rows_dma, cols_dma), jnp.float32),        # t0 strip
             pltpu.VMEM((rows_dma, cols_dma), jnp.float32),        # cd strip
-            pltpu.VMEM((4, rows_dma, w), jnp.float32),            # hp
-            pltpu.VMEM((4, th, cols_dma), jnp.float32),           # vc
-            pltpu.VMEM((4, th, w), jnp.float32),                  # ws
+            pltpu.VMEM((3, rows_dma, tw), jnp.float32),           # hp
+            pltpu.VMEM((3, th, cols_dma), jnp.float32),           # vc
+            pltpu.VMEM((3, th, tw), jnp.float32),                 # ws
+            pltpu.VMEM((5, th, tw), jnp.float32),                 # latches
+            pltpu.SMEM((1,), jnp.int32),                          # done flag
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * 8 * NN * hp_rows * w,
-            bytes_accessed=8 * (hp_rows + 2 * NN) * (w + 2 * NN)
-            + 4 * hp_rows * w,
+            flops=3 * 8 * NN * hp_rows * wp_cols,
+            bytes_accessed=8 * (h + 2 * NN) * (w + 2 * NN)
+            + 4 * hp_rows * wp_cols,
             transcendentals=0,
         ),
         interpret=interpret,
     )(jnp.asarray(t0_pad, jnp.float32), jnp.asarray(cd_pad, jnp.float32),
       jnp.asarray(cd_center, jnp.float32))
-    return out[:h]
+    return out[:h, :w]

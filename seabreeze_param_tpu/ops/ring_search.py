@@ -83,23 +83,34 @@ def required_ring_radius_host(cdist, maxdist, *, exact_lon: bool = True,
     return int(min(cap, need[target].max()))
 
 
+
 def ring_quantities(t0, cdist):
-    """The four window summands: t0*land, land, t0*sea, sea, stacked (4,h,w).
+    """The three window summands: t0*land, land, t0*sea, stacked (3,h,w).
 
     land = (cdist >= 0) on the final cdist field — sentinel cells included
-    (the reference quirk, see module docstring)."""
+    (the reference quirk, see module docstring).  Only three channels are
+    needed: every window cell (the boundary-resolved pads deliver genuine
+    grid values, so land + sea = 1 everywhere) makes the sea *count* exactly
+    (2nn+1)^2 - n_land — both integers below 2^24, so the float32
+    subtraction is exact.  t0*sea is the exact elementwise complement
+    t0 - t0*land (t0*land is t0 or 0 per cell), summed per class like the
+    reference, so the temperature sums keep their per-class rounding."""
     t0 = jnp.asarray(t0, jnp.float32)
     land = (jnp.asarray(cdist, jnp.float32) >= 0.0).astype(jnp.float32)
-    sea = 1.0 - land
-    return jnp.stack([t0 * land, land, t0 * sea, sea])
+    tl = t0 * land
+    return jnp.stack([tl, land, t0 - tl])
 
 
-def ring_thc_from_padded(P, mul, nn_max: int):
+def ring_thc_from_padded(P, mul, nn_max: int, *, coastal=None):
     """Core incremental-box-sum search on an NN-padded quantity stack.
 
-    P   : (4, h+2NN, w+2NN) — padded :func:`ring_quantities` stack (pad from
+    P   : (3, h+2NN, w+2NN) — padded :func:`ring_quantities` stack (pad from
           the exact boundary maps single-device, or a halo exchange sharded).
     mul : (h, w) — +1 land targets / -1 sea targets.
+    coastal : optional (h, w) bool — the |cdist| <= maxdist cells (the only
+          ones the reference searches, seabreeze_diag_python.f90:171).  When
+          given, non-coastal outputs are zeroed — the reference's value there
+          (its thc never exists off the coastal band).
     """
     NN = int(nn_max)
     nlat = P.shape[1] - 2 * NN
@@ -111,7 +122,14 @@ def ring_thc_from_padded(P, mul, nn_max: int):
     Vc = P[:, NN:NN + nlat, :]                    # vertical sums, all cols
 
     found = jnp.zeros((nlat, nlon), bool)
-    n_thc = jnp.zeros((nlat, nlon), jnp.float32)
+    # Latched per-class sums at each cell's first-found radius.  Dividing
+    # once at the end on the latched operands is bit-identical to dividing
+    # inside the loop (same operands), and drops 2*NN full-field divisions
+    # to 2 — divisions are the VPU's most expensive elementwise op.
+    Tl = jnp.zeros((nlat, nlon), jnp.float32)
+    Nl = jnp.ones((nlat, nlon), jnp.float32)
+    Ts = jnp.zeros((nlat, nlon), jnp.float32)
+    Ns = jnp.ones((nlat, nlon), jnp.float32)
 
     for nn in range(1, NN + 1):
         # widen the horizontal running sum to order nn
@@ -125,22 +143,25 @@ def ring_thc_from_padded(P, mul, nn_max: int):
         # then widen the vertical running sum for the next iteration
         Vc = Vc + P[:, NN - nn:NN - nn + nlat, :] + P[:, NN + nn:NN + nn + nlat, :]
 
-        t_l, n_l, t_s, n_s = W[0], W[1], W[2], W[3]
+        t_l, n_l, t_s = W[0], W[1], W[2]
+        n_s = jnp.float32((2 * nn + 1) ** 2) - n_l    # exact (see above)
         ok = (n_l > 0.0) & (n_s > 0.0)
         newly = ok & (~found)
-        safe_l = jnp.maximum(n_l, 1.0)
-        safe_s = jnp.maximum(n_s, 1.0)
-        val = mul * (t_l / safe_l - t_s / safe_s)
-        n_thc = jnp.where(newly, val, n_thc)
+        last = newly | (~found & (nn == NN))   # never-found: NN-window value
+        Tl = jnp.where(last, t_l, Tl)
+        Nl = jnp.where(last, jnp.maximum(n_l, 1.0), Nl)
+        Ts = jnp.where(last, t_s, Ts)
+        Ns = jnp.where(last, jnp.maximum(n_s, 1.0), Ns)
         found = found | ok
 
-    # Fallback for never-found points (cannot occur where |cdist| <= maxdist,
-    # the only cells whose THC is consumed): the nn_max-window value.
-    n_thc = jnp.where(found, n_thc, val)
+    n_thc = mul * (Tl / Nl - Ts / Ns)
+    if coastal is not None:
+        n_thc = jnp.where(coastal, n_thc, jnp.float32(0.0))
     return n_thc, found
 
 
-def ring_thc(t0, cdist, nn_max: int, *, exact_lon: bool = True):
+def ring_thc(t0, cdist, nn_max: int, *, exact_lon: bool = True,
+             maxdist: float | None = None):
     """Vectorized expanding-ring THC.
 
     Parameters
@@ -148,6 +169,8 @@ def ring_thc(t0, cdist, nn_max: int, *, exact_lon: bool = True):
     t0 : (nlat, nlon) f32 — sea-level temperature field.
     cdist : (nlat, nlon) f32 — signed coast distance (with sentinels).
     nn_max : static int — ring radius bound (k + 2 + margin).
+    maxdist : optional km — when given, restrict outputs to the coastal band
+        |cdist| <= maxdist (zero elsewhere), like the reference's point loop.
 
     Returns
     -------
@@ -157,8 +180,10 @@ def ring_thc(t0, cdist, nn_max: int, *, exact_lon: bool = True):
     found : (nlat, nlon) bool — diagnostic: predicate fired within nn_max.
     """
     NN = int(nn_max)
-    quant = ring_quantities(t0, cdist)                  # (4, H, W)
-    P = pad2d(quant, NN, NN, exact_lon=exact_lon)       # (4, H+2NN, W+2NN)
-    mul = jnp.where(jnp.asarray(cdist) >= 0.0, jnp.float32(1.0),
-                    jnp.float32(-1.0))
-    return ring_thc_from_padded(P, mul, NN)
+    cdist = jnp.asarray(cdist, jnp.float32)
+    quant = ring_quantities(t0, cdist)                  # (3, H, W)
+    P = pad2d(quant, NN, NN, exact_lon=exact_lon)       # (3, H+2NN, W+2NN)
+    mul = jnp.where(cdist >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+    coastal = None if maxdist is None else (
+        jnp.abs(cdist) <= jnp.float32(maxdist))
+    return ring_thc_from_padded(P, mul, NN, coastal=coastal)

@@ -102,19 +102,22 @@ def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
                 pad2d(t0, nn_max, nn_max,
                       exact_lon=params.exact_lon_indexing),
                 pad2d(cdist, nn_max, nn_max,
-                      exact_lon=params.exact_lon_indexing), cdist, nn_max)
+                      exact_lon=params.exact_lon_indexing), cdist, nn_max,
+                maxdist=params.maxdist)
         else:
             n_thc, _ = ring_thc(t0, cdist, nn_max,
-                                exact_lon=params.exact_lon_indexing)
+                                exact_lon=params.exact_lon_indexing,
+                                maxdist=params.maxdist)
     elif use_pallas:
         from .pallas.ring_kernel import ring_thc_pallas_padded
         padded = ring_pad_fn(jnp.stack([t0, cdist]), nn_max)
-        n_thc = ring_thc_pallas_padded(padded[0], padded[1], cdist, nn_max)
+        n_thc = ring_thc_pallas_padded(padded[0], padded[1], cdist, nn_max,
+                                       maxdist=params.maxdist)
     else:
         quant = ring_quantities(t0, cdist)
         mul = jnp.where(cdist >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
         n_thc, _ = ring_thc_from_padded(ring_pad_fn(quant, nn_max), mul,
-                                        nn_max)
+                                        nn_max, coastal=coastal)
     ws_new, wd_new = wind_at_level(u, v, pres, params.target_plev_pa)
 
     # First-timestep seeding (seabreeze_diag_python.f90:236-240): coastal

@@ -14,8 +14,9 @@ from seabreeze_param_tpu.ops.pallas.distance_kernel import (
 
 
 @pytest.mark.parametrize("case", ["small_case", "global_case"])
-@pytest.mark.parametrize("tile_rows", [32, 128])
-def test_distance_kernel_matches_jnp(case, tile_rows, request):
+@pytest.mark.parametrize("tile_rows,tile_cols", [(32, 64), (128, 512),
+                                                 (16, 128)])
+def test_distance_kernel_matches_jnp(case, tile_rows, tile_cols, request):
     c = request.getfixturevalue(case)
     grid = Grid(lon=c["lon"], lat=c["lat"])
     k = effective_radius(grid, 180.0)
@@ -25,17 +26,21 @@ def test_distance_kernel_matches_jnp(case, tile_rows, request):
     ref = np.asarray(min_haversine_param(coast, *tables, k))
     got = np.asarray(min_haversine_param_pallas(coast, *tables, k,
                                                 tile_rows=tile_rows,
+                                                tile_cols=tile_cols,
                                                 interpret=True))
     # identical candidate set + monotone float32 ops -> bit-identical
+    # (tiles skipped by the coast-sparsity predicate produce the same
+    # poisoned BIG value the dense math would)
     np.testing.assert_array_equal(got, ref)
 
 
 @pytest.mark.parametrize("case", ["small_case", "global_case"])
-@pytest.mark.parametrize("tile_rows", [32, 64])
-def test_ring_kernel_matches_jnp(case, tile_rows, request):
-    """Fused ring-search kernel vs ops.ring_search (same window sums in the
-    same order -> tight tolerance; t0*sea differs only by the exact
-    complement construction)."""
+@pytest.mark.parametrize("tile_rows,tile_cols", [(32, 64), (64, 256),
+                                                 (16, 128)])
+def test_ring_kernel_matches_jnp(case, tile_rows, tile_cols, request):
+    """Fused ring-search kernel (2-D tiled, coastal-tile skip) vs
+    ops.ring_search with the same coastal-band mask (same window sums in the
+    same order -> tight tolerance)."""
     from seabreeze_param_tpu.models.pipeline import TriggerPipeline
     from seabreeze_param_tpu.ops.indexing import pad2d
     from seabreeze_param_tpu.ops.pallas.ring_kernel import (
@@ -53,8 +58,12 @@ def test_ring_kernel_matches_jnp(case, tile_rows, request):
     t0 = (290.0 + 8.0 * rng.standard_normal(c["lsm"].shape)).astype(
         np.float32)
 
-    ref, _ = ring_thc(jnp.asarray(t0), cdist, nn)
+    ref, _ = ring_thc(jnp.asarray(t0), cdist, nn, maxdist=180.0)
     got = ring_thc_pallas_padded(pad2d(jnp.asarray(t0), nn, nn),
                                  pad2d(cdist, nn, nn), cdist, nn,
-                                 tile_rows=tile_rows, interpret=True)
+                                 maxdist=180.0, tile_rows=tile_rows,
+                                 tile_cols=tile_cols, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    # the masked region must be exactly zero in both
+    non_coastal = np.abs(np.asarray(cdist)) > 180.0
+    assert (np.asarray(got)[non_coastal] == 0.0).all()

@@ -24,20 +24,30 @@ from .. import api
 from ..io import Config, Meta, read_nc
 
 
-def main(config, progress=sys.stdout, **diag_kwargs):
-    """Run the batch pipeline; returns the final (tt, thc, ws, wd) state."""
+def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
+         max_retries=2, **diag_kwargs):
+    """Run the batch pipeline; returns the final (tt, thc, ws, wd) state.
+
+    With ``ckpt_dir`` the per-file loop runs under the elastic-recovery
+    runner (``utils.resilience``): the state is checkpointed every
+    ``save_every`` files, transient failures retry from the last
+    checkpoint, and a rerun pointed at the same directory resumes the
+    series after the last completed file.
+    """
+    from ..core.state import TriggerState
     from ..io.native_nc import PrefetchPool
 
     cfg = Config(config)
     meta = Meta(cfg)
-    thc = np.zeros((len(meta.lat), len(meta.lon)), np.float32)
-    windspeed = np.zeros_like(thc)
-    winddir = np.zeros_like(thc)
-    tt = 1
+    shape = (len(meta.lat), len(meta.lon))
     written = []
     invars = (cfg.vv, cfg.vu, cfg.vtheta, cfg.vci)
     pool = PrefetchPool(2)   # no-op when no native toolchain
-    for step, tstring in enumerate(meta.dates):
+    date_index = {t: i for i, t in enumerate(meta.dates)}
+
+    def process(state, tstring):
+        """One dated file: read -> diag -> CF output.  The recovery unit."""
+        step = date_index[tstring]
         # Warm the NEXT file set into the page cache on native C++ threads
         # while this step computes (the reference reads cold and serially,
         # test_run.py:18-30).
@@ -56,9 +66,10 @@ def main(config, progress=sys.stdout, **diag_kwargs):
                           vv=cfg.vv, vu=cfg.vu, vtheta=cfg.vtheta,
                           vci=cfg.vci, vpres=cfg.vpres, vtime=cfg.vtime)
         tt, sb_con, thc, windspeed, winddir, outs = api.diag(
-            tt, meta.landfrac, meta.z, meta.std, meta.lon, meta.lat,
-            nc_data.pres, meta=nc_data, ws=windspeed, wd=winddir, thc=thc,
-            full_output=True, **diag_kwargs)
+            int(state.tt), meta.landfrac, meta.z, meta.std, meta.lon,
+            meta.lat, nc_data.pres, meta=nc_data,
+            ws=np.asarray(state.windspeed), wd=np.asarray(state.winddir),
+            thc=np.asarray(state.thc), full_output=True, **diag_kwargs)
         meta.create_nc(np.asarray(sb_con), f_sb, "sb_con", nc_data.time)
         # per-step sea-level temperature, under the reference's production
         # name "thc" (the out[1] quirk — plot.py:97-99 reads it from the sb
@@ -70,8 +81,26 @@ def main(config, progress=sys.stdout, **diag_kwargs):
         if progress:
             progress.write("ok\n")
             progress.flush()
+        return TriggerState(tt=np.int32(tt),
+                            thc=np.asarray(thc, np.float32),
+                            windspeed=np.asarray(windspeed, np.float32),
+                            winddir=np.asarray(winddir, np.float32))
+
+    state = TriggerState(tt=np.int32(1),
+                         thc=np.zeros(shape, np.float32),
+                         windspeed=np.zeros(shape, np.float32),
+                         winddir=np.zeros(shape, np.float32))
+    if ckpt_dir:
+        from ..utils.resilience import run_resilient
+        state, _ = run_resilient(list(meta.dates), process, state,
+                                 str(ckpt_dir), save_every=int(save_every),
+                                 max_retries=int(max_retries))
+    else:
+        for tstring in meta.dates:
+            state = process(state, tstring)
     pool.close()
-    return tt, thc, windspeed, winddir, written
+    return (int(state.tt), np.asarray(state.thc),
+            np.asarray(state.windspeed), np.asarray(state.winddir), written)
 
 
 HELP = """
@@ -83,6 +112,10 @@ Usage:
 Options:
     config           : The configuration file that contains all information
                        to run the sea-breeze detection (default: ./run.conf)
+    ckpt_dir         : checkpoint directory; enables elastic recovery +
+                       resume across reruns (default: off)
+    save_every       : checkpoint cadence in files (default: 1)
+    max_retries      : transient-failure retries per file (default: 2)
     any diag kwarg   : science-parameter override, e.g. --maxdist=250
 """
 

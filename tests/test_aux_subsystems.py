@@ -177,3 +177,104 @@ def test_step_metrics():
     assert rec["steps"] == 3
     assert rec["points_per_s"] > 0
     assert rec["halo_bytes"] == 42
+
+
+# -- failure detection / elastic recovery (§5.3) -----------------------------
+def test_run_resilient_recovers_from_failures(tmp_path):
+    """A unit that fails transiently is retried from the last checkpoint and
+    the final state matches an uninterrupted run exactly."""
+    from seabreeze_param_tpu.core.state import TriggerState
+    from seabreeze_param_tpu.utils.resilience import run_resilient
+
+    shape = (4, 6)
+
+    def mk_state():
+        return TriggerState(tt=np.int32(1), thc=np.zeros(shape, F),
+                            windspeed=np.zeros(shape, F),
+                            winddir=np.zeros(shape, F))
+
+    def step(state, unit):
+        return TriggerState(tt=state.tt + 1,
+                            thc=state.thc + F(unit),
+                            windspeed=state.windspeed + F(2 * unit),
+                            winddir=state.winddir)
+
+    units = [1.0, 2.0, 3.0, 4.0]
+    # uninterrupted reference
+    ref = mk_state()
+    for u in units:
+        ref = step(ref, u)
+
+    fails = {"left": 2}
+
+    def flaky(state, unit):
+        if unit == 3.0 and fails["left"] > 0:
+            fails["left"] -= 1
+            raise RuntimeError("transient backend failure")
+        return step(state, unit)
+
+    final, done = run_resilient(units, flaky, mk_state(),
+                                str(tmp_path / "ck"), save_every=1,
+                                max_retries=3)
+    assert done == len(units)
+    assert fails["left"] == 0
+    assert int(final.tt) == int(ref.tt)
+    np.testing.assert_array_equal(np.asarray(final.thc), np.asarray(ref.thc))
+    np.testing.assert_array_equal(np.asarray(final.windspeed),
+                                  np.asarray(ref.windspeed))
+
+
+def test_run_resilient_resumes_across_processes(tmp_path):
+    """A new runner pointed at the same checkpoint dir skips completed
+    units — the automatic form of the reference's manual state threading."""
+    from seabreeze_param_tpu.core.state import TriggerState
+    from seabreeze_param_tpu.utils.resilience import run_resilient
+
+    shape = (3, 3)
+    state0 = TriggerState(tt=np.int32(1), thc=np.zeros(shape, F),
+                          windspeed=np.zeros(shape, F),
+                          winddir=np.zeros(shape, F))
+
+    seen = []
+
+    def step(state, unit):
+        seen.append(unit)
+        if unit == "c":
+            raise KeyboardInterrupt  # simulated preemption
+        return TriggerState(tt=state.tt + 1, thc=state.thc + F(1.0),
+                            windspeed=state.windspeed, winddir=state.winddir)
+
+    units = ["a", "b", "c", "d"]
+    with pytest.raises(KeyboardInterrupt):
+        run_resilient(units, step, state0, str(tmp_path / "ck"),
+                      save_every=1, max_retries=0)
+    assert seen == ["a", "b", "c"]
+
+    # "new process": same directory, same units, failure gone
+    def step2(state, unit):
+        seen.append(("2", unit))
+        return TriggerState(tt=state.tt + 1, thc=state.thc + F(1.0),
+                            windspeed=state.windspeed, winddir=state.winddir)
+
+    final, done = run_resilient(units, step2, state0, str(tmp_path / "ck"))
+    assert done == len(units)
+    assert [x[1] for x in seen if isinstance(x, tuple)] == ["c", "d"]
+    assert int(final.tt) == 5
+    np.testing.assert_array_equal(np.asarray(final.thc),
+                                  np.full(shape, 4.0, F))
+
+
+def test_watchdog_detects_stall():
+    import time
+    from seabreeze_param_tpu.utils.resilience import Watchdog
+
+    stalls = []
+    with Watchdog(deadline_s=0.15, on_stall=stalls.append,
+                  poll_s=0.03) as wd:
+        wd.beat()
+        time.sleep(0.35)           # no beats -> stall fires once
+        assert wd.stall_count == 1
+        wd.beat()                  # re-arm
+        time.sleep(0.35)
+        assert wd.stall_count == 2
+    assert len(stalls) == 2 and stalls[0] >= 0.15

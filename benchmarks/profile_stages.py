@@ -86,35 +86,46 @@ def main():
     state = TriggerState.zeros((nlat, nlon))
 
     # Every scan body perturbs its field input with the loop carry (a
-    # scalar), so the stage re-executes each iteration.
+    # scalar) and folds a tiny-scaled checksum of the output back into the
+    # carry — a dependency XLA cannot constant-fold away (a `* 0.0`
+    # checksum gets the whole stage dead-code-eliminated).
+    def dep(c, out):
+        return (c * jnp.float32(0.5)
+                + jnp.sum(jnp.where(jnp.abs(out) < 1e19, out, 0.0))
+                * jnp.float32(1e-12))
+
+    def empty_body(c, _):
+        return c + 1.0, None
+
     def edges_body(c, _):
-        out = get_edges(lsm_d + c, ci_d)
-        return c + out[0, 0] * 0.0, None
+        return dep(c, get_edges(lsm_d + c, ci_d)), None
 
     def dist_body(c, _):
-        out = coast_distance(coast + c * 0.0, lsm_d, grid, params.maxdist,
+        out = coast_distance(coast + c, lsm_d, grid, params.maxdist,
                              use_pallas=args.pallas)
-        return c + out[0, 0] * 0.0, None
+        return dep(c, out), None
 
     def trig_body(carry, _):
         s, c = carry
         s2, out = trigger_step(s, th_d + c, u_d, v_d, cdist, z_d, std_d,
                                pres_d, params, pipe.nn_max,
                                use_pallas=args.pallas)
-        return (s2, c + out["sb_con"][0, 0] * 0.0), None
+        return (s2, dep(c, out["sb_con"])), None
 
     def wind_body(c, _):
         ws, wd = wind_at_level(u_d + c, v_d, pres_d, params.target_plev_pa)
-        return c + ws[0, 0] * 0.0, None
+        return dep(c, ws), None
 
     def step_body(carry, _):
         s, c = carry
         s2, out = pipe.step(s, th_d + c, u_d, v_d, lsm_d, z_d, std_d, pres_d,
                             ci=ci_d)
-        return (s2, c + out["sb_con"][0, 0] * 0.0), None
+        return (s2, dep(c, out["sb_con"])), None
 
     z0 = jnp.float32(0.0)
     rows = [
+        ("dispatch floor (empty)", timeit_scanned(empty_body, z0,
+                                                  args.iters)),
         ("get_edges (sobel)", timeit_scanned(edges_body, z0, args.iters)),
         ("coast_distance", timeit_scanned(dist_body, z0, args.iters)),
         ("trigger_step (ring+tail)",

@@ -83,7 +83,8 @@ class ShardedPipeline:
         self.nn_max = self.pipeline.nn_max
 
     # ------------------------------------------------------------------
-    def _core(self, state, xs, lsm, z, std, pres, sdphi2, po, sdlam2):
+    def _core(self, state, xs, lsm, z, std, pres, sdphi2, po, sdlam2, *,
+              has_ci: bool = True):
         """Per-shard scan over time (runs inside shard_map)."""
         pipe = self.pipeline
         params = pipe.params
@@ -95,8 +96,7 @@ class ShardedPipeline:
         def ring_pad(q, nn):
             return halo_pad(q, nn, nn, lat_fill="clamp", exact_lon=exact)
 
-        def scan_fn(carry, x):
-            th, uu, vv, ci = x
+        def distance(ci):
             mask = make_mask(lsm, ci)
             mpad = halo_pad(mask, 1, 1, lat_fill="clamp", exact_lon=exact)
             coast = sobel_edges_from_padded(mpad)
@@ -104,8 +104,20 @@ class ShardedPipeline:
             cpad = halo_pad(coast, self.k, self.k, lat_fill="zero",
                             exact_lon=False)
             amin = min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2,
-                                                  self.k)
-            cdist = finalize_distance(amin, lsm, params.maxdist)
+                                                   self.k)
+            return finalize_distance(amin, lsm, params.maxdist)
+
+        # Static coastline (no sea ice): one distance transform outside the
+        # scan, like the unsharded pipeline (reference __init__.py:216-218).
+        cdist0 = None if has_ci else distance(None)
+
+        def scan_fn(carry, x):
+            if has_ci:
+                th, uu, vv, ci = x
+                cdist = distance(ci)
+            else:
+                th, uu, vv = x
+                cdist = cdist0
             new_state, out = trigger_step(
                 carry, th, uu, vv, cdist, z, std, pres, params, self.nn_max,
                 axis_names=(AXIS_Y, AXIS_X), ring_pad_fn=ring_pad,
@@ -116,12 +128,20 @@ class ShardedPipeline:
         return lax.scan(scan_fn, state, xs)
 
     # ------------------------------------------------------------------
-    def build(self):
-        """The jitted shard_map-wrapped scan function."""
+    def build(self, has_ci: bool = True):
+        """The jitted shard_map-wrapped scan function (cached per variant —
+        rebuilding the wrapper every call would re-trace)."""
+        cache = getattr(self, "_built", None)
+        if cache is None:
+            cache = self._built = {}
+        if has_ci in cache:
+            return cache[has_ci]
         fld = P(AXIS_Y, AXIS_X)
         state_spec = TriggerState(tt=P(), thc=fld, windspeed=fld, winddir=fld)
         xs_spec = (P(None, AXIS_Y, AXIS_X), P(None, None, AXIS_Y, AXIS_X),
-                   P(None, None, AXIS_Y, AXIS_X), P(None, AXIS_Y, AXIS_X))
+                   P(None, None, AXIS_Y, AXIS_X))
+        if has_ci:
+            xs_spec = xs_spec + (P(None, AXIS_Y, AXIS_X),)
         in_specs = (state_spec, xs_spec, fld, fld, fld, P(),
                     P(AXIS_Y, None), P(AXIS_Y, None), P(AXIS_X, None))
         out_specs = (state_spec,
@@ -133,9 +153,11 @@ class ShardedPipeline:
         # data.  The ops are mesh-agnostic by design (the same code runs
         # single-device), so we opt out of the static check; shard-count
         # invariance is instead enforced dynamically by tests/test_sharded.py.
-        fn = jax.shard_map(self._core, mesh=self.mesh, in_specs=in_specs,
+        fn = jax.shard_map(functools.partial(self._core, has_ci=has_ci),
+                           mesh=self.mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
-        return jax.jit(fn)
+        cache[has_ci] = jax.jit(fn)
+        return cache[has_ci]
 
     # ------------------------------------------------------------------
     def run(self, state: TriggerState, theta_t, u_t, v_t, lsm, z, std, pres,
@@ -144,12 +166,12 @@ class ShardedPipeline:
         T = np.asarray(theta_t).shape[0]
         nlat, nlon = self.nlat_pad, self.pipeline.grid.nlon
         padf = functools.partial(_pad_lat_host, nlat_pad=nlat)
-        if ci_t is None:
-            ci_t = np.zeros_like(np.asarray(theta_t))
+        has_ci = ci_t is not None
         xs = (jnp.asarray(padf(theta_t), jnp.float32),
               jnp.asarray(padf(u_t), jnp.float32),
-              jnp.asarray(padf(v_t), jnp.float32),
-              jnp.asarray(padf(ci_t), jnp.float32))
+              jnp.asarray(padf(v_t), jnp.float32))
+        if has_ci:
+            xs = xs + (jnp.asarray(padf(ci_t), jnp.float32),)
         state_p = TriggerState(
             tt=state.tt,
             thc=jnp.asarray(padf(np.asarray(state.thc)), jnp.float32),
@@ -162,7 +184,7 @@ class ShardedPipeline:
                 jnp.asarray(pres, jnp.float32),
                 jnp.asarray(self.tables[0]), jnp.asarray(self.tables[1]),
                 jnp.asarray(self.tables[2]))
-        final, outs = self.build()(*args)
+        final, outs = self.build(has_ci)(*args)
         sl = slice(0, self.nlat_real)
         final = TriggerState(tt=final.tt, thc=final.thc[sl],
                              windspeed=final.windspeed[sl],

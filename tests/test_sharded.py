@@ -87,3 +87,22 @@ def test_sharded_lat_padding(global_case):
     assert got_out["sb_con"].shape == ref_out["sb_con"].shape
     _assert_outputs_close(got_out, ref_out)
     _assert_state_close(got_state, ref_state)
+
+
+def test_sharded_static_coastline_matches_single_device(small_case):
+    """ci_t=None: the distance transform runs once outside the scan in both
+    pipelines; results must still agree."""
+    c = small_case
+    nsteps = 2
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    pipe = TriggerPipeline(grid)
+    nlat, nlon = len(c["lat"]), len(c["lon"])
+    ref_state, ref_out = pipe.run(
+        _zero_state(nlat, nlon), c["theta_t"][:nsteps], c["u_t"][:nsteps],
+        c["v_t"][:nsteps], c["lsm"], c["z"], c["std"], c["p"], ci_t=None)
+    sp = ShardedPipeline(pipe, make_mesh((2, 4)))
+    got_state, got_out = sp.run(
+        _zero_state(nlat, nlon), c["theta_t"][:nsteps], c["u_t"][:nsteps],
+        c["v_t"][:nsteps], c["lsm"], c["z"], c["std"], c["p"], ci_t=None)
+    _assert_outputs_close(got_out, ref_out)
+    _assert_state_close(got_state, ref_state)

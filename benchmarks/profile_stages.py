@@ -24,23 +24,33 @@ from bench import GRIDS, make_world  # noqa: E402
 
 
 def timeit_scanned(make_scan_fn, init_carry, iters, repeats=3):
-    """Time ``lax.scan(scan_fn, carry, length=iters)`` per iteration."""
+    """Per-iteration device time of ``lax.scan(scan_fn, carry, length=N)``.
+
+    The axon tunnel adds a LARGE fixed per-dispatch roundtrip (~30 ms), so a
+    single measurement at one iteration count is dominated by it.  We time
+    the scan at N and 4N iterations and take the slope
+    ``(t(4N) - t(N)) / 3N`` — the dispatch offset cancels exactly and the
+    result is true device time per iteration.
+    """
     import jax
     from jax import lax
 
-    @jax.jit
-    def run(carry):
-        return lax.scan(make_scan_fn, carry, None, length=iters)
+    def total(n):
+        @jax.jit
+        def run(carry):
+            return lax.scan(make_scan_fn, carry, None, length=n)
 
-    out = run(init_carry)
-    jax.block_until_ready(out)
-    best = np.inf
-    for _ in range(repeats):
-        t0 = time.perf_counter()
         out = run(init_carry)
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = run(init_carry)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (total(4 * iters) - total(iters)) / (3 * iters)
 
 
 def main():

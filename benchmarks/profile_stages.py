@@ -2,11 +2,13 @@
 """Per-stage device timing of the trigger pipeline.
 
 Each pipeline stage (coastline Sobel, coast-distance transform, ring THC
-search, trigger step, full fused step) is timed as a ``lax.scan`` of ITERS
-iterations inside ONE jitted dispatch, so the per-dispatch host/tunnel
-latency (~25 ms on axon backends) is amortized away and the numbers reflect
-real device time per stage.  The scan carry perturbs each stage's inputs so
-XLA cannot hoist the stage out of the loop.
+search, trigger step, full fused step) runs as a ``lax.scan`` inside ONE
+jitted dispatch, timed at N and 4N iterations; the reported per-iteration
+cost is the slope ``(t(4N) - t(N)) / 3N``, which cancels the fixed
+per-dispatch host/tunnel latency (~25-30 ms on axon backends) exactly.  The
+scan carry perturbs each stage's inputs so XLA cannot hoist the stage out
+of the loop.  Slopes are clamped at 0 and flagged when below timing noise
+(cheap bodies — e.g. the empty dispatch floor — can land within jitter).
 
 Usage: python benchmarks/profile_stages.py [--grid global025]
        [--pallas/--no-pallas] [--iters 64]
@@ -50,7 +52,13 @@ def timeit_scanned(make_scan_fn, init_carry, iters, repeats=3):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (total(4 * iters) - total(iters)) / (3 * iters)
+    t1 = total(iters)
+    t4 = total(4 * iters)
+    slope = (t4 - t1) / (3 * iters)
+    # Repeat-to-repeat jitter bounds what the slope can resolve; flag rows
+    # whose cost is within noise rather than printing a misleading negative.
+    noise = 0.02 * max(t1, t4) / (3 * iters)
+    return max(slope, 0.0), slope < noise
 
 
 def main():
@@ -148,8 +156,9 @@ def main():
     print(f"# {args.grid} ({nlat}x{nlon}) nlev={args.nlev} "
           f"pallas={args.pallas} platform={platform} "
           f"k={pipe.k} nn={pipe.nn_max} iters={args.iters}")
-    for name, t in rows:
-        print(f"{name:28s} {t*1e3:8.3f} ms")
+    for name, (t, below_noise) in rows:
+        note = "  (below measurement noise)" if below_noise else ""
+        print(f"{name:28s} {t*1e3:8.3f} ms{note}")
 
 
 if __name__ == "__main__":

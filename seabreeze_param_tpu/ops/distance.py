@@ -88,7 +88,8 @@ def distance_tables(grid: Grid, k: int):
     return sdphi2, po, sdlam2
 
 
-def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int):
+def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int,
+                                    *, unroll: bool | None = None):
     """Core gather-min over a k-padded coast block — separable two-pass form.
 
     ``cpad`` is (h+2k, w+2k): rows beyond the *global* lat edge zero-filled
@@ -124,8 +125,11 @@ def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int):
     # production regime: k=6 at 0.25 deg, k=15 at 0.1 deg), which lets XLA
     # fuse each pass into a single HBM sweep — measured ~1.4x over the
     # fori_loop form on TPU v5e.  Very large k falls back to fori_loop to
-    # bound compile time.
-    unroll = nwin <= 64
+    # bound compile time.  ``unroll`` pins the choice for tests (both
+    # branches are goldened by tests/test_ops_golden.py so they cannot
+    # silently diverge).
+    if unroll is None:
+        unroll = nwin <= 64
 
     # --- pass 1: per padded row, masked sliding min/max of sdlam2 over dj -
     def body_j(dj, mm, static=False):

@@ -60,6 +60,28 @@ def test_get_dist_matches_golden(case, request):
     np.testing.assert_allclose(got[sel], ref[sel], rtol=2e-5, atol=2e-3)
 
 
+@pytest.mark.parametrize("unroll", [True, False])
+def test_min_haversine_unroll_branches_agree(small_case, unroll):
+    """The unrolled static-slice form and the fori_loop fallback (engaged in
+    production only at k > 31) must produce identical winning parameters —
+    goldened here so the two branches cannot silently diverge (ADVICE r2)."""
+    from seabreeze_param_tpu.ops.distance import (
+        distance_tables, finalize_distance, min_haversine_param_from_padded,
+        pad_coast)
+    c = small_case
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    coast = golden_get_edges(c["lsm"], c["ci_t"][0])
+    k = grid.search_radius_cells(180.0)
+    tables = distance_tables(grid, k)
+    amin = min_haversine_param_from_padded(
+        pad_coast(jnp.asarray(coast), k), *tables, k, unroll=unroll)
+    got = np.asarray(finalize_distance(amin, c["lsm"], 180.0))
+    ref = golden_get_dist(coast, c["lsm"], c["lon"], c["lat"])
+    np.testing.assert_array_equal(np.sign(ref), np.sign(got))
+    sel = ref != F(12000.0)
+    np.testing.assert_allclose(got[sel], ref[sel], rtol=2e-5, atol=2e-3)
+
+
 def test_sigmoid_matches_golden(small_case):
     ref = golden_sigmoid(small_case["std"])
     got = np.asarray(sigmoid_weight(small_case["std"]))

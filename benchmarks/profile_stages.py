@@ -25,7 +25,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from bench import GRIDS, make_world  # noqa: E402
 
 
-def timeit_scanned(make_scan_fn, init_carry, iters, repeats=3):
+def timeit_scanned(make_scan_fn, init_carry, iters, repeats=3, fields=()):
     """Per-iteration device time of ``lax.scan(scan_fn, carry, length=N)``.
 
     The axon tunnel adds a LARGE fixed per-dispatch roundtrip (~30 ms), so a
@@ -33,22 +33,35 @@ def timeit_scanned(make_scan_fn, init_carry, iters, repeats=3):
     the scan at N and 4N iterations and take the slope
     ``(t(4N) - t(N)) / 3N`` — the dispatch offset cancels exactly and the
     result is true device time per iteration.
+
+    ``fields`` holds the large device arrays the body reads: they are passed
+    as jit *arguments* (closed-over arrays embed as HLO constants, which
+    blows the axon upload limit at 0.1 deg) and forwarded to the body.
     """
     import jax
     from jax import lax
 
     def total(n):
         @jax.jit
-        def run(carry):
-            return lax.scan(make_scan_fn, carry, None, length=n)
+        def run(carry, *flds):
+            def body(c, x):
+                return make_scan_fn(c, x, *flds)
+            return lax.scan(body, carry, None, length=n)
 
-        out = run(init_carry)
-        jax.block_until_ready(out)
+        def fetch(out):
+            # Pull the scalar checksum to the host: on axon backends
+            # block_until_ready can return before execution completes, so a
+            # concrete fetch is the only reliable completion barrier.  The
+            # checksum is always the LAST carry leaf (bodies carry (state?,
+            # checksum)).
+            carry = out[0]
+            return float(jax.tree_util.tree_leaves(carry)[-1])
+
+        fetch(run(init_carry, *fields))
         best = np.inf
         for _ in range(repeats):
             t0 = time.perf_counter()
-            out = run(init_carry)
-            jax.block_until_ready(out)
+            fetch(run(init_carry, *fields))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -115,43 +128,50 @@ def main():
     def empty_body(c, _):
         return c + 1.0, None
 
-    def edges_body(c, _):
+    def edges_body(c, _, lsm_d, ci_d):
         return dep(c, get_edges(lsm_d + c, ci_d)), None
 
-    def dist_body(c, _):
+    def dist_body(c, _, coast, lsm_d):
         out = coast_distance(coast + c, lsm_d, grid, params.maxdist,
                              use_pallas=args.pallas)
         return dep(c, out), None
 
-    def trig_body(carry, _):
+    def trig_body(carry, _, th_d, u_d, v_d, cdist, z_d, std_d, pres_d):
         s, c = carry
         s2, out = trigger_step(s, th_d + c, u_d, v_d, cdist, z_d, std_d,
                                pres_d, params, pipe.nn_max,
                                use_pallas=args.pallas)
         return (s2, dep(c, out["sb_con"])), None
 
-    def wind_body(c, _):
+    def wind_body(c, _, u_d, v_d, pres_d):
         ws, wd = wind_at_level(u_d + c, v_d, pres_d, params.target_plev_pa)
         return dep(c, ws), None
 
-    def step_body(carry, _):
+    def step_body(carry, _, th_d, u_d, v_d, lsm_d, z_d, std_d, pres_d, ci_d):
         s, c = carry
         s2, out = pipe.step(s, th_d + c, u_d, v_d, lsm_d, z_d, std_d, pres_d,
-                            ci=ci_d)
+                            ci=ci_d + c * 0)
         return (s2, dep(c, out["sb_con"])), None
 
     z0 = jnp.float32(0.0)
     rows = [
         ("dispatch floor (empty)", timeit_scanned(empty_body, z0,
                                                   args.iters)),
-        ("get_edges (sobel)", timeit_scanned(edges_body, z0, args.iters)),
-        ("coast_distance", timeit_scanned(dist_body, z0, args.iters)),
+        ("get_edges (sobel)", timeit_scanned(edges_body, z0, args.iters,
+                                             fields=(lsm_d, ci_d))),
+        ("coast_distance", timeit_scanned(dist_body, z0, args.iters,
+                                          fields=(coast, lsm_d))),
         ("trigger_step (ring+tail)",
-         timeit_scanned(trig_body, (state, z0), args.iters)),
-        ("  wind_at_level only", timeit_scanned(wind_body, z0, args.iters)),
+         timeit_scanned(trig_body, (state, z0), args.iters,
+                        fields=(th_d, u_d, v_d, cdist, z_d, std_d, pres_d))),
+        ("  wind_at_level only",
+         timeit_scanned(wind_body, z0, args.iters,
+                        fields=(u_d, v_d, pres_d))),
         ("FULL step (fused)",
          timeit_scanned(step_body, (TriggerState.zeros((nlat, nlon)), z0),
-                        args.iters)),
+                        args.iters,
+                        fields=(th_d, u_d, v_d, lsm_d, z_d, std_d, pres_d,
+                                ci_d))),
     ]
     print(f"# {args.grid} ({nlat}x{nlon}) nlev={args.nlev} "
           f"pallas={args.pallas} platform={platform} "

@@ -88,8 +88,78 @@ def distance_tables(grid: Grid, k: int):
     return sdphi2, po, sdlam2
 
 
+def pass1_extrema(cpad, sdlam2, k: int, *, unroll: bool | None = None):
+    """Pass 1 of the separable min: per padded row, the masked sliding
+    min/max of sdlam2 over the lon window dj (see
+    :func:`min_haversine_param_from_padded`).  Returns (Mmin, Mmax), each
+    (h+2k, w); BIG / -BIG where the window holds no coast cell."""
+    h2k = cpad.shape[0]
+    w = cpad.shape[1] - 2 * k
+    nwin = 2 * k + 1
+    sdlam2 = jnp.asarray(sdlam2)
+    if unroll is None:
+        unroll = nwin <= 64
+
+    def body_j(dj, mm, static=False):
+        mmin, mmax = mm
+        if static:
+            win = cpad[:, dj:dj + w] > 0.0
+            cand = sdlam2[:, dj][None, :]
+        else:
+            win = lax.dynamic_slice(cpad, (0, dj), (h2k, w)) > 0.0
+            cand = lax.dynamic_slice(sdlam2, (0, dj), (w, 1)).T  # (1, w)
+        return (jnp.where(win, jnp.minimum(mmin, cand), mmin),
+                jnp.where(win, jnp.maximum(mmax, cand), mmax))
+
+    m0 = (jnp.full((h2k, w), BIG_PARAM, jnp.float32),
+          jnp.full((h2k, w), -BIG_PARAM, jnp.float32))
+    if unroll:
+        for dj in range(nwin):
+            m0 = body_j(dj, m0, static=True)
+        return m0
+    return lax.fori_loop(0, nwin, body_j, m0)
+
+
+def pass2_min(Mmin, Mmax, sdphi2, po, k: int, *,
+              unroll: bool | None = None):
+    """Pass 2 of the separable min: per target row, the min over the lat
+    window di of sdphi2 + po * extremum (see
+    :func:`min_haversine_param_from_padded`).  Returns amin (h, w)."""
+    h = Mmin.shape[0] - 2 * k
+    w = Mmin.shape[1]
+    nwin = 2 * k + 1
+    sdphi2 = jnp.asarray(sdphi2)
+    po = jnp.asarray(po)
+    if unroll is None:
+        unroll = nwin <= 64
+
+    def body_i(di, amin, static=False):
+        if static:
+            lo = Mmin[di:di + h]
+            hi = Mmax[di:di + h]
+            p = po[:, di:di + 1]
+            s = sdphi2[:, di:di + 1]
+        else:
+            lo = lax.dynamic_slice(Mmin, (di, 0), (h, w))
+            hi = lax.dynamic_slice(Mmax, (di, 0), (h, w))
+            p = lax.dynamic_slice(po, (0, di), (h, 1))
+            s = lax.dynamic_slice(sdphi2, (0, di), (h, 1))
+        inner = jnp.minimum(p * lo, p * hi)
+        cand = s + inner
+        cand = jnp.where(lo > BIG_PARAM / 2, BIG_PARAM, cand)  # empty window
+        return jnp.minimum(amin, cand)
+
+    amin0 = jnp.full((h, w), BIG_PARAM, jnp.float32)
+    if unroll:
+        for di in range(nwin):
+            amin0 = body_i(di, amin0, static=True)
+        return amin0
+    return lax.fori_loop(0, nwin, body_i, amin0)
+
+
 def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int,
-                                    *, unroll: bool | None = None):
+                                    *, unroll: bool | None = None,
+                                    impl: str = "xla"):
     """Core gather-min over a k-padded coast block — separable two-pass form.
 
     ``cpad`` is (h+2k, w+2k): rows beyond the *global* lat edge zero-filled
@@ -114,13 +184,6 @@ def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int,
     are poisoned explicitly (Mmin stays BIG); beyond-lat-edge rows carry
     sdphi2 = BIG and never win.
     """
-    h = cpad.shape[0] - 2 * k
-    w = cpad.shape[1] - 2 * k
-    nwin = 2 * k + 1
-    sdphi2 = jnp.asarray(sdphi2)
-    po = jnp.asarray(po)
-    sdlam2 = jnp.asarray(sdlam2)
-
     # The taps are unrolled as static slices when the window is small (the
     # production regime: k=6 at 0.25 deg, k=15 at 0.1 deg), which lets XLA
     # fuse each pass into a single HBM sweep — measured ~1.4x over the
@@ -128,53 +191,21 @@ def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int,
     # bound compile time.  ``unroll`` pins the choice for tests (both
     # branches are goldened by tests/test_ops_golden.py so they cannot
     # silently diverge).
-    if unroll is None:
-        unroll = nwin <= 64
-
-    # --- pass 1: per padded row, masked sliding min/max of sdlam2 over dj -
-    def body_j(dj, mm, static=False):
-        mmin, mmax = mm
-        if static:
-            win = cpad[:, dj:dj + w] > 0.0
-            cand = sdlam2[:, dj][None, :]
-        else:
-            win = lax.dynamic_slice(cpad, (0, dj), (h + 2 * k, w)) > 0.0
-            cand = lax.dynamic_slice(sdlam2, (0, dj), (w, 1)).T  # (1, w)
-        return (jnp.where(win, jnp.minimum(mmin, cand), mmin),
-                jnp.where(win, jnp.maximum(mmax, cand), mmax))
-
-    m0 = (jnp.full((h + 2 * k, w), BIG_PARAM, jnp.float32),
-          jnp.full((h + 2 * k, w), -BIG_PARAM, jnp.float32))
-    if unroll:
-        for dj in range(nwin):
-            m0 = body_j(dj, m0, static=True)
-        Mmin, Mmax = m0
-    else:
-        Mmin, Mmax = lax.fori_loop(0, nwin, body_j, m0)
-
-    # --- pass 2: min over di of sdphi2 + po * extremum --------------------
-    def body_i(di, amin, static=False):
-        if static:
-            lo = Mmin[di:di + h]
-            hi = Mmax[di:di + h]
-            p = po[:, di:di + 1]
-            s = sdphi2[:, di:di + 1]
-        else:
-            lo = lax.dynamic_slice(Mmin, (di, 0), (h, w))
-            hi = lax.dynamic_slice(Mmax, (di, 0), (h, w))
-            p = lax.dynamic_slice(po, (0, di), (h, 1))
-            s = lax.dynamic_slice(sdphi2, (0, di), (h, 1))
-        inner = jnp.minimum(p * lo, p * hi)
-        cand = s + inner
-        cand = jnp.where(lo > BIG_PARAM / 2, BIG_PARAM, cand)  # empty window
-        return jnp.minimum(amin, cand)
-
-    amin0 = jnp.full((h, w), BIG_PARAM, jnp.float32)
-    if unroll:
-        for di in range(nwin):
-            amin0 = body_i(di, amin0, static=True)
-        return amin0
-    return lax.fori_loop(0, nwin, body_i, amin0)
+    #
+    # ``impl='hybrid'`` (the TPU production path, see ``coast_distance``)
+    # keeps pass 1 in XLA — its taps slice along LANES, where Pallas would
+    # pay a cross-lane rotate per tap — but runs pass 2 as a Pallas kernel:
+    # pass 2 taps slice along SUBLANES only, so the whole (th+2k, tw) strip
+    # sits in VMEM and all 2k+1 taps run on-chip in one HBM pass.  This also
+    # materializes the pass-1 extrema exactly once; XLA alone rematerializes
+    # them inside the pass-2 fusion (measured 5.7 ms vs 3.2 ms for the
+    # passes run separately at 0.1 deg, k=15 — and the hybrid's pass 2
+    # itself drops 2.8 ms -> ~0.3 ms).
+    Mmin, Mmax = pass1_extrema(cpad, sdlam2, k, unroll=unroll)
+    if impl == "hybrid":
+        from .pallas.distance_kernel import pass2_min_pallas
+        return pass2_min_pallas(Mmin, Mmax, sdphi2, po, k)
+    return pass2_min(Mmin, Mmax, sdphi2, po, k, unroll=unroll)
 
 
 def pad_coast(coast, k: int):
@@ -215,27 +246,45 @@ def effective_radius(grid: Grid, maxdist: float, k: int | None = None) -> int:
     return max(0, min(k, max(grid.nlat, grid.nlon)))
 
 
+def resolve_impl(impl: str) -> str:
+    """Resolve ``impl='auto'`` by backend: the XLA-pass1 + Pallas-pass2
+    hybrid on TPU, pure XLA elsewhere (trace-time Python — the backend is
+    static)."""
+    if impl != "auto":
+        return impl
+    return "hybrid" if jax.default_backend() == "tpu" else "xla"
+
+
 def coast_distance(coast, lsm, grid: Grid, maxdist: float = 180.0,
                    *, k: int | None = None, use_pallas: bool = False,
-                   impl: str = "xla"):
+                   impl: str = "auto"):
     """Full ``get_dist`` equivalent: signed km distance to the nearest
     coastline cell, positive over land, negative over sea, 12000 km sentinel
     beyond 2*maxdist.
 
-    ``impl`` selects the gather-min implementation.  The XLA separable form
-    is the production default on every backend: measured on TPU v5e it
-    beats the Pallas tile kernel ~3x at 0.25 deg and ~2x at 0.1 deg (XLA
-    pipelines the sliced min passes without the tile kernel's apron-DMA
-    amplification), so ``use_pallas`` — which routes the *ring* kernel to
-    Pallas, where Pallas wins 6-14x — deliberately does not switch this op.
-    Pass ``impl='pallas'`` to force the tile kernel.
+    ``impl`` selects the gather-min implementation:
+
+    * ``'auto'`` (default) — ``'hybrid'`` on TPU, ``'xla'`` elsewhere.
+    * ``'hybrid'`` — XLA pass 1 + Pallas pass 2 (see
+      ``min_haversine_param_from_padded``): measured on TPU v5e 1.3x over
+      pure XLA at 0.25 deg and ~6x at 0.1 deg (k=15), where the XLA fusion
+      both rematerializes pass 1 and pays 2(2k+1) HBM sweeps in pass 2.
+    * ``'xla'`` — the pure separable two-pass form (any backend).
+    * ``'pallas'`` — the fully fused tile kernel; loses to the hybrid
+      because its pass-1 taps slice along lanes (a cross-lane rotate per
+      tap in VMEM), which XLA instead folds into HBM read addressing.
+
+    ``use_pallas`` — which routes the *ring* kernel to Pallas — does not
+    switch this op; the distance choice is independent and auto-resolved.
     """
     k_eff = effective_radius(grid, maxdist, k)
     tables = distance_tables(grid, k_eff)
     del use_pallas
+    impl = resolve_impl(impl)
     if impl == "pallas":
         from .pallas.distance_kernel import min_haversine_param_pallas
         amin = min_haversine_param_pallas(coast, *tables, k_eff)
     else:
-        amin = min_haversine_param(coast, *tables, k_eff)
+        amin = min_haversine_param_from_padded(
+            pad_coast(coast, k_eff), *tables, k_eff, impl=impl)
     return finalize_distance(amin, lsm, maxdist)

@@ -162,6 +162,141 @@ def min_haversine_param_pallas_padded(cpad, sdphi2, po, sdlam2, k: int,
     return out[:h, :w]
 
 
+def _pass2_kernel(mn_hbm, mx_hbm, sdphi2_ref, po_ref, out_ref, mn_s, mx_s,
+                  sem, *, k: int, th: int, tw: int, rows_dma: int,
+                  ni: int, nj: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nwin = 2 * k + 1
+    # Double-buffered strip DMA: TPU grid steps run sequentially and scratch
+    # persists across them, so each step prefetches the NEXT tile's strips
+    # into the other slot while computing its own — the per-tile DMA latency
+    # (the dominant cost of the serial form) overlaps with compute.
+    t = i * nj + j
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    def start(tt, sl):
+        ii = tt // nj
+        jj = jax.lax.rem(tt, nj)
+        pltpu.make_async_copy(
+            mn_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
+            mn_s.at[sl], sem.at[sl, 0]).start()
+        pltpu.make_async_copy(
+            mx_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
+            mx_s.at[sl], sem.at[sl, 1]).start()
+
+    def wait(tt, sl):
+        ii = tt // nj
+        jj = jax.lax.rem(tt, nj)
+        pltpu.make_async_copy(
+            mn_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
+            mn_s.at[sl], sem.at[sl, 0]).wait()
+        pltpu.make_async_copy(
+            mx_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
+            mx_s.at[sl], sem.at[sl, 1]).wait()
+
+    @pl.when(t == 0)
+    def _first():
+        start(t, slot)
+
+    @pl.when(t + 1 < ni * nj)
+    def _prefetch():
+        start(t + 1, nxt)
+
+    wait(t, slot)
+
+    # Sparsity: every row-window in the strip empty (Mmin == BIG) -> amin
+    # stays BIG everywhere — identical to the dense result, compute skipped.
+    any_src = jnp.any(mn_s[slot] < BIG_PARAM / 2)
+
+    @pl.when(jnp.logical_not(any_src))
+    def _skip():
+        out_ref[:] = jnp.full((th, tw), BIG_PARAM, jnp.float32)
+
+    @pl.when(any_src)
+    def _compute():
+        amin = jnp.full((th, tw), BIG_PARAM, jnp.float32)
+        for di in range(nwin):
+            lo = mn_s[slot, di:di + th, :]
+            hi = mx_s[slot, di:di + th, :]
+            p = po_ref[:, di:di + 1]
+            cand = sdphi2_ref[:, di:di + 1] + jnp.minimum(p * lo, p * hi)
+            cand = jnp.where(lo > BIG_PARAM / 2, BIG_PARAM, cand)
+            amin = jnp.minimum(amin, cand)
+        out_ref[:] = amin
+
+
+def pass2_min_pallas(Mmin, Mmax, sdphi2, po, k: int, *, tile_rows: int = 128,
+                     tile_cols: int = 512, interpret: bool = False):
+    """Pallas form of the separable min's pass 2 (see ops.distance).
+
+    Mmin, Mmax : (h+2k, w) f32 — pass-1 row-window extrema of sdlam2 (BIG /
+        -BIG where the window holds no coast cell).
+    sdphi2, po : (h, 2k+1) f32 row tables.
+    Returns amin (h, w).
+
+    Pass 2 only taps along ROWS (sublane offsets — cheap on the VPU), so
+    each (th+2k, tw) strip is DMA'd into VMEM once and all 2k+1 taps run
+    on-chip: ~3 HBM passes total instead of the XLA form's 2*(2k+1) sweeps
+    (measured 2.8 ms -> ~0.3 ms at 0.1 deg, k=15).
+    """
+    k = int(k)
+    h = Mmin.shape[0] - 2 * k
+    w = Mmin.shape[1]
+    th = min(tile_rows, _round_up(h, 8))
+    tw = min(tile_cols, _round_up(w, 128))
+    ni = -(-h // th)
+    nj = -(-w // tw)
+    hp = ni * th
+    wp = nj * tw
+    if hp != h:
+        sdphi2 = jnp.pad(jnp.asarray(sdphi2), ((0, hp - h), (0, 0)),
+                         constant_values=BIG_PARAM)
+        po = jnp.pad(jnp.asarray(po), ((0, hp - h), (0, 0)))
+    rows_dma = _round_up(th + 2 * k, 8)
+    need_r = (ni - 1) * th + rows_dma
+    pad_r = max(0, need_r - (h + 2 * k))
+    if pad_r or wp != w:
+        # Fake rows/cols hold empty windows (Mmin=BIG): matching target rows
+        # are poisoned via sdphi2=BIG and everything extra is sliced off.
+        Mmin = jnp.pad(Mmin, ((0, pad_r), (0, wp - w)),
+                       constant_values=BIG_PARAM)
+        Mmax = jnp.pad(Mmax, ((0, pad_r), (0, wp - w)),
+                       constant_values=-BIG_PARAM)
+
+    nwin = 2 * k + 1
+    out = pl.pallas_call(
+        functools.partial(_pass2_kernel, k=k, th=th, tw=tw,
+                          rows_dma=rows_dma, ni=ni, nj=nj),
+        grid=(ni, nj),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                    # Mmin
+            pl.BlockSpec(memory_space=pl.ANY),                    # Mmax
+            pl.BlockSpec((th, nwin), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),                # sdphi2
+            pl.BlockSpec((th, nwin), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),                # po
+        ],
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_dma, tw), jnp.float32),           # Mmin x2
+            pltpu.VMEM((2, rows_dma, tw), jnp.float32),           # Mmax x2
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * nwin * hp * wp,
+            bytes_accessed=8 * (h + 2 * k) * w + 4 * hp * wp,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(Mmin, jnp.float32), jnp.asarray(Mmax, jnp.float32),
+      jnp.asarray(sdphi2), jnp.asarray(po))
+    return out[:h, :w]
+
+
 def min_haversine_param_pallas(coast, sdphi2, po, sdlam2, k: int,
                                *, tile_rows: int = 128, tile_cols: int = 512,
                                interpret: bool = False):

@@ -151,8 +151,10 @@ def _kernel(t0_hbm, cd_hbm, cdc_ref, out_thc, t0s, cds, hp, vc, ws, lat,
 
 
 def ring_thc_pallas_padded(t0_pad, cd_pad, cd_center, nn_max: int, *,
-                           maxdist: float = 180.0, tile_rows: int = 64,
-                           tile_cols: int = 256, interpret: bool = False):
+                           maxdist: float = 180.0,
+                           tile_rows: int | None = None,
+                           tile_cols: int | None = None,
+                           interpret: bool = False):
     """Fused ring search on NN-padded fields.
 
     t0_pad, cd_pad : (h+2NN, w+2NN) f32 — padded sea-level temperature and
@@ -168,6 +170,13 @@ def ring_thc_pallas_padded(t0_pad, cd_pad, cd_center, nn_max: int, *,
     NN = int(nn_max)
     h = t0_pad.shape[0] - 2 * NN
     w = t0_pad.shape[1] - 2 * NN
+    # Default tiles from a TPU v5e sweep: narrow columns give the
+    # coastal-band skip spatial resolution across mostly-meridional
+    # coastlines; taller tiles amortize the 2NN-row apron when NN is small.
+    if tile_cols is None:
+        tile_cols = 128
+    if tile_rows is None:
+        tile_rows = 256 if NN <= 12 else 64
     th = min(tile_rows, h)
     tw = min(tile_cols, w)
     ni = -(-h // th)

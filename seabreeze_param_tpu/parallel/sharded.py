@@ -38,7 +38,7 @@ from ..core.state import TriggerState
 from ..models.pipeline import TriggerPipeline
 from ..ops.coastline import make_mask, sobel_edges_from_padded
 from ..ops.distance import (distance_tables, finalize_distance,
-                            min_haversine_param_from_padded)
+                            min_haversine_param_from_padded, resolve_impl)
 from ..ops.trigger import trigger_step
 from .halo import halo_pad
 from .mesh import AXIS_Y, AXIS_X
@@ -103,8 +103,9 @@ class ShardedPipeline:
             # get_dist uses the clean periodic lon map (sobel.f90:163-164)
             cpad = halo_pad(coast, self.k, self.k, lat_fill="zero",
                             exact_lon=False)
-            amin = min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2,
-                                                   self.k)
+            amin = min_haversine_param_from_padded(
+                cpad, sdphi2, po, sdlam2, self.k,
+                impl=resolve_impl("auto"))
             return finalize_distance(amin, lsm, params.maxdist)
 
         # Static coastline (no sea ice): one distance transform outside the

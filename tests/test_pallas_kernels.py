@@ -35,6 +35,30 @@ def test_distance_kernel_matches_jnp(case, tile_rows, tile_cols, request):
 
 
 @pytest.mark.parametrize("case", ["small_case", "global_case"])
+@pytest.mark.parametrize("tile_rows,tile_cols", [(32, 64), (128, 512),
+                                                 (16, 128)])
+def test_pass2_kernel_matches_jnp(case, tile_rows, tile_cols, request):
+    """The hybrid path's Pallas pass 2 (double-buffered strip DMA, sublane
+    taps) vs the XLA pass 2 — identical float32 op order -> bit-identical."""
+    from seabreeze_param_tpu.ops.distance import (pad_coast, pass1_extrema,
+                                                  pass2_min)
+    from seabreeze_param_tpu.ops.pallas.distance_kernel import pass2_min_pallas
+
+    c = request.getfixturevalue(case)
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    k = effective_radius(grid, 180.0)
+    sdphi2, po, sdlam2 = distance_tables(grid, k)
+    coast = get_edges(c["lsm"], c["ci_t"][0])
+    Mmin, Mmax = pass1_extrema(pad_coast(jnp.asarray(coast), k), sdlam2, k)
+
+    ref = np.asarray(pass2_min(Mmin, Mmax, sdphi2, po, k))
+    got = np.asarray(pass2_min_pallas(Mmin, Mmax, sdphi2, po, k,
+                                      tile_rows=tile_rows,
+                                      tile_cols=tile_cols, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("case", ["small_case", "global_case"])
 @pytest.mark.parametrize("tile_rows,tile_cols", [(32, 64), (64, 256),
                                                  (16, 128)])
 def test_ring_kernel_matches_jnp(case, tile_rows, tile_cols, request):

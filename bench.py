@@ -126,7 +126,7 @@ def main():
     ap.add_argument("--grid", default="global025", choices=sorted(GRIDS))
     ap.add_argument("--steps", type=int, default=32,
                     help="timesteps per input block (bounds HBM use)")
-    ap.add_argument("--passes", type=int, default=8,
+    ap.add_argument("--passes", type=int, default=24,
                     help="sweeps over the block inside one dispatch; "
                          "passes*steps total timesteps amortize the "
                          "per-dispatch tunnel latency (~25 ms on axon)")

@@ -36,10 +36,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _SENTINEL = np.float32(12000.0)
+_MISSING = np.float32(2.0e20)
 
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def _default_tiles(NN: int, tile_rows, tile_cols):
+    """Tile defaults from a TPU v5e sweep of the fused trigger kernel:
+    narrow columns give the coastal-band skip spatial resolution across
+    mostly-meridional coastlines; larger tiles amortize the 2NN apron when
+    NN is small."""
+    if NN <= 12:
+        tile_rows = 128 if tile_rows is None else tile_rows
+        tile_cols = 256 if tile_cols is None else tile_cols
+    else:
+        tile_rows = 64 if tile_rows is None else tile_rows
+        tile_cols = 128 if tile_cols is None else tile_cols
+    return tile_rows, tile_cols
 
 
 def _kernel(t0_hbm, cd_hbm, cdc_ref, out_thc, t0s, cds, hp, vc, ws, lat,
@@ -170,13 +185,7 @@ def ring_thc_pallas_padded(t0_pad, cd_pad, cd_center, nn_max: int, *,
     NN = int(nn_max)
     h = t0_pad.shape[0] - 2 * NN
     w = t0_pad.shape[1] - 2 * NN
-    # Default tiles from a TPU v5e sweep: narrow columns give the
-    # coastal-band skip spatial resolution across mostly-meridional
-    # coastlines; taller tiles amortize the 2NN-row apron when NN is small.
-    if tile_cols is None:
-        tile_cols = 128
-    if tile_rows is None:
-        tile_rows = 256 if NN <= 12 else 64
+    tile_rows, tile_cols = _default_tiles(NN, tile_rows, tile_cols)
     th = min(tile_rows, h)
     tw = min(tile_cols, w)
     ni = -(-h // th)
@@ -239,3 +248,248 @@ def ring_thc_pallas_padded(t0_pad, cd_pad, cd_center, nn_max: int, *,
     )(jnp.asarray(t0_pad, jnp.float32), jnp.asarray(cd_pad, jnp.float32),
       jnp.asarray(cd_center, jnp.float32))
     return out[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Fused ring search + trigger tail: one kernel for the whole per-cell part of
+# the trigger step (seabreeze_diag_python.f90:165-282 minus wind_at_level).
+# ---------------------------------------------------------------------------
+
+def _trigger_kernel(t0_hbm, cd_hbm, cdc_ref, wsn_ref, wdn_ref, wss_ref,
+                    wds_ref, sc_ref, out_sb, out_ws, out_wd, t0s, cds, hp,
+                    vc, ws, lat, done, sem, *, nn_max: int, th: int, tw: int,
+                    rows_dma: int, cols_dma: int, maxdist: float,
+                    thresh_wind: float, thresh_winddir: float,
+                    thresh_windch: float, thresh_thc: float,
+                    skip_last_row: bool):
+    """The ring-search kernel of ``_kernel`` plus the trigger tail
+    (thresholds, scaling, wind-state update; seabreeze_diag_python.f90:
+    236-274) fused behind it, so n_thc never round-trips HBM and the tail's
+    elementwise passes ride the same VMEM residency.
+
+    sc_ref (SMEM, (4,) f32): [is_first, upd, row_offset, nlat_total] — the
+    two state-cadence flags (functions of the traced state.tt) and the
+    block's global-row position for the reference's nlats-1 loop-bound quirk
+    (applied in-kernel when ``skip_last_row``).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    NN = int(nn_max)
+
+    coastal_c = jnp.abs(cdc_ref[:]) <= jnp.float32(maxdist)
+    any_coastal = jnp.any(coastal_c)
+
+    first = sc_ref[0] > 0.0
+    upd = sc_ref[1] > 0.0
+    if skip_last_row:
+        # Mosaic iota is integer-only; cast to f32 for the SMEM scalars.
+        grow = (sc_ref[2] + jnp.float32(i * th)
+                + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+                .astype(jnp.float32))
+        row_ok = grow < sc_ref[3] - 1.0
+    else:
+        row_ok = jnp.full((th, tw), True)
+
+    wsn = wsn_ref[:]
+    wdn = wdn_ref[:]
+    wss = wss_ref[:]
+    wds = wds_ref[:]
+
+    def tail(n_thc):
+        """seabreeze_diag_python.f90:236-263 on the tile."""
+        fc = first & coastal_c
+        ws_base = jnp.where(fc, wsn, wss)
+        wd_base = jnp.where(fc, wdn, wds)
+        thc_abs = jnp.abs(n_thc)
+        mws = (ws_base + wsn) * jnp.float32(0.5)
+        dws = jnp.abs(ws_base - wsn)
+        dwd = jnp.abs(
+            jnp.mod((wd_base - wdn) + jnp.float32(180.0), jnp.float32(360.0))
+            - jnp.float32(180.0))
+        cond = ((dwd < jnp.float32(thresh_winddir))
+                & (dws < jnp.float32(thresh_windch))
+                & (mws < jnp.float32(thresh_wind))
+                & (thc_abs > jnp.float32(thresh_thc)))
+        scale_wind = (jnp.float32(thresh_wind) - mws) / jnp.maximum(
+            jnp.float32(1.0), mws)
+        thc_safe = jnp.where(n_thc == 0.0, jnp.float32(1.0), n_thc)
+        scale_thc = (thc_abs - jnp.float32(thresh_thc)) / thc_safe
+        sb = jnp.where(coastal_c,
+                       jnp.where(cond, scale_thc * scale_wind,
+                                 jnp.float32(0.0)), _MISSING)
+        take = coastal_c & (first | upd)
+        ws_o = jnp.where(take, wsn, wss)
+        wd_o = jnp.where(take, wdn, wds)
+        out_sb[:] = jnp.where(row_ok, sb, jnp.float32(0.0))
+        out_ws[:] = jnp.where(row_ok, ws_o, wss)
+        out_wd[:] = jnp.where(row_ok, wd_o, wds)
+
+    @pl.when(jnp.logical_not(any_coastal))
+    def _skip():
+        # No coastal cell: n_thc is identically zero there, so the tail
+        # reduces to MISSING sb_con + state passthrough (plus the last-row
+        # zero quirk).
+        out_sb[:] = jnp.where(row_ok, _MISSING, jnp.float32(0.0))
+        out_ws[:] = wss
+        out_wd[:] = wds
+
+    @pl.when(any_coastal)
+    def _compute():
+        t0_dma = pltpu.make_async_copy(
+            t0_hbm.at[pl.ds(i * th, rows_dma), pl.ds(j * tw, cols_dma)],
+            t0s, sem.at[0])
+        cd_dma = pltpu.make_async_copy(
+            cd_hbm.at[pl.ds(i * th, rows_dma), pl.ds(j * tw, cols_dma)],
+            cds, sem.at[1])
+        t0_dma.start()
+        cd_dma.start()
+        t0_dma.wait()
+        cd_dma.wait()
+
+        land = (cds[:] >= 0.0).astype(jnp.float32)
+        tl = t0s[:] * land
+        tss = t0s[:] - tl
+        quants = (tl, land, tss)
+        for c, q in ((0, tl), (1, land), (2, tss)):
+            hp[c] = q[:, NN:NN + tw]
+            vc[c] = q[NN:NN + th, :]
+            ws[c] = q[NN:NN + th, NN:NN + tw]
+
+        lat[0] = jnp.zeros((th, tw), jnp.float32)
+        lat[1] = jnp.ones((th, tw), jnp.float32)
+        lat[2] = jnp.zeros((th, tw), jnp.float32)
+        lat[3] = jnp.ones((th, tw), jnp.float32)
+        lat[4] = jnp.zeros((th, tw), jnp.float32)
+        done[0] = jnp.int32(0)
+
+        for nn in range(1, NN + 1):
+            @pl.when(done[0] == 0)
+            def _ring(nn=nn):
+                for c in range(3):
+                    q = quants[c]
+                    hp[c] = (hp[c] + q[:, NN - nn:NN - nn + tw]
+                             + q[:, NN + nn:NN + nn + tw])
+                    top = hp[c, NN - nn:NN - nn + th, :]
+                    bot = hp[c, NN + nn:NN + nn + th, :]
+                    left = vc[c, :, NN - nn:NN - nn + tw]
+                    right = vc[c, :, NN + nn:NN + nn + tw]
+                    ws[c] = ws[c] + top + bot + left + right
+                    vc[c] = (vc[c] + q[NN - nn:NN - nn + th, :]
+                             + q[NN + nn:NN + nn + th, :])
+                t_l, n_l, t_s = ws[0], ws[1], ws[2]
+                n_s = jnp.float32((2 * nn + 1) ** 2) - n_l
+                found = lat[4] > 0.0
+                ok = (n_l > 0.0) & (n_s > 0.0)
+                newly = ok & (~found)
+                last = newly | (~found & (nn == NN))
+                lat[0] = jnp.where(last, t_l, lat[0])
+                lat[1] = jnp.where(last, jnp.maximum(n_l, 1.0), lat[1])
+                lat[2] = jnp.where(last, t_s, lat[2])
+                lat[3] = jnp.where(last, jnp.maximum(n_s, 1.0), lat[3])
+                new_found = found | ok
+                lat[4] = new_found.astype(jnp.float32)
+                done[0] = jnp.all(new_found | ~coastal_c).astype(jnp.int32)
+
+        mul = jnp.where(cdc_ref[:] >= 0.0, jnp.float32(1.0),
+                        jnp.float32(-1.0))
+        n_thc = mul * (lat[0] / lat[1] - lat[2] / lat[3])
+        tail(jnp.where(coastal_c, n_thc, jnp.float32(0.0)))
+
+
+def ring_trigger_pallas_padded(t0_pad, cd_pad, cd_center, ws_new, wd_new,
+                               ws_state, wd_state, is_first, upd, params,
+                               nn_max: int, *, row_offset=0,
+                               nlat_total: int | None = None,
+                               tile_rows: int | None = None,
+                               tile_cols: int | None = None,
+                               interpret: bool = False):
+    """Fused ring search + trigger tail on NN-padded fields.
+
+    Same padded-field contract as :func:`ring_thc_pallas_padded`, plus the
+    per-cell trigger tail inputs: fresh wind (ws_new, wd_new), carried wind
+    state (ws_state, wd_state), and the traced cadence scalars ``is_first``
+    (state.tt < 2) and ``upd`` (the 6-hourly refresh predicate).  ``params``
+    is a ``core.params.Params``.  Returns (sb_con, ws_out, wd_out), each
+    (h, w) — everything of ``ops.trigger.trigger_step`` downstream of the
+    ring search except the t0/output packing.
+    """
+    NN = int(nn_max)
+    h = t0_pad.shape[0] - 2 * NN
+    w = t0_pad.shape[1] - 2 * NN
+    tile_rows, tile_cols = _default_tiles(NN, tile_rows, tile_cols)
+    th = min(tile_rows, h)
+    tw = min(tile_cols, w)
+    ni = -(-h // th)
+    nj = -(-w // tw)
+    hp_rows = ni * th
+    wp_cols = nj * tw
+
+    rows_dma = _round_up(th + 2 * NN, 8)
+    cols_dma = _round_up(tw + 2 * NN, 128)
+    need_r = (ni - 1) * th + rows_dma
+    need_c = (nj - 1) * tw + cols_dma
+    pad_r = max(0, need_r - (h + 2 * NN))
+    pad_c = max(0, need_c - (w + 2 * NN))
+    if pad_r or pad_c:
+        t0_pad = jnp.pad(t0_pad, ((0, pad_r), (0, pad_c)))
+        cd_pad = jnp.pad(cd_pad, ((0, pad_r), (0, pad_c)),
+                         constant_values=_SENTINEL)
+    pads = ((0, hp_rows - h), (0, wp_cols - w))
+    if hp_rows != h or wp_cols != w:
+        cd_center = jnp.pad(cd_center, pads, constant_values=_SENTINEL)
+        ws_new = jnp.pad(ws_new, pads)
+        wd_new = jnp.pad(wd_new, pads)
+        ws_state = jnp.pad(ws_state, pads)
+        wd_state = jnp.pad(wd_state, pads)
+
+    nlat_total = h if nlat_total is None else nlat_total
+    scal = jnp.stack([
+        jnp.asarray(is_first, jnp.float32),
+        jnp.asarray(upd, jnp.float32),
+        jnp.asarray(row_offset, jnp.float32),
+        jnp.float32(nlat_total)])
+
+    blk = pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                       memory_space=pltpu.VMEM)
+    out3 = jax.ShapeDtypeStruct((hp_rows, wp_cols), jnp.float32)
+    sb, ws_o, wd_o = pl.pallas_call(
+        functools.partial(
+            _trigger_kernel, nn_max=NN, th=th, tw=tw, rows_dma=rows_dma,
+            cols_dma=cols_dma, maxdist=float(params.maxdist),
+            thresh_wind=float(params.thresh_wind),
+            thresh_winddir=float(params.thresh_winddir),
+            thresh_windch=float(params.thresh_windch),
+            thresh_thc=float(params.thresh_thc),
+            skip_last_row=bool(params.skip_last_lat_row)),
+        grid=(ni, nj),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # t0_pad
+            pl.BlockSpec(memory_space=pl.ANY),   # cd_pad
+            blk,                                 # cd_center
+            blk, blk, blk, blk,                  # ws_new, wd_new, wss, wds
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        ],
+        out_specs=(blk, blk, blk),
+        out_shape=(out3, out3, out3),
+        scratch_shapes=[
+            pltpu.VMEM((rows_dma, cols_dma), jnp.float32),        # t0 strip
+            pltpu.VMEM((rows_dma, cols_dma), jnp.float32),        # cd strip
+            pltpu.VMEM((3, rows_dma, tw), jnp.float32),           # hp
+            pltpu.VMEM((3, th, cols_dma), jnp.float32),           # vc
+            pltpu.VMEM((3, th, tw), jnp.float32),                 # ws
+            pltpu.VMEM((5, th, tw), jnp.float32),                 # latches
+            pltpu.SMEM((1,), jnp.int32),                          # done flag
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 8 * NN * hp_rows * wp_cols,
+            bytes_accessed=8 * (h + 2 * NN) * (w + 2 * NN)
+            + 7 * 4 * hp_rows * wp_cols,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(t0_pad, jnp.float32), jnp.asarray(cd_pad, jnp.float32),
+      jnp.asarray(cd_center, jnp.float32), jnp.asarray(ws_new, jnp.float32),
+      jnp.asarray(wd_new, jnp.float32), jnp.asarray(ws_state, jnp.float32),
+      jnp.asarray(wd_state, jnp.float32), scal)
+    return sb[:h, :w], ws_o[:h, :w], wd_o[:h, :w]

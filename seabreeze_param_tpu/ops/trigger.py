@@ -93,36 +93,54 @@ def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
 
     cdist = jnp.asarray(cdist, jnp.float32)
     coastal = jnp.abs(cdist) <= jnp.float32(params.maxdist)
+    ws_new, wd_new = wind_at_level(u, v, pres, params.target_plev_pa)
+    is_first = state.tt < 2
+    upd = jnp.mod(state.tt.astype(jnp.float32) * params.timestep_seconds,
+                  params.target_time_seconds) < jnp.float32(1.0e-4)
+
+    if use_pallas:
+        # Fused ring + trigger tail: everything per-cell downstream of t0
+        # and the wind selection runs in one Pallas kernel (n_thc never
+        # round-trips HBM, the tail rides the tiles' VMEM residency).
+        from .pallas.ring_kernel import ring_trigger_pallas_padded
+        if ring_pad_fn is None:
+            from .indexing import pad2d
+            t0_pad = pad2d(t0, nn_max, nn_max,
+                           exact_lon=params.exact_lon_indexing)
+            cd_pad = pad2d(cdist, nn_max, nn_max,
+                           exact_lon=params.exact_lon_indexing)
+        else:
+            padded = ring_pad_fn(jnp.stack([t0, cdist]), nn_max)
+            t0_pad, cd_pad = padded[0], padded[1]
+        out_sb, ws_out, wd_out = ring_trigger_pallas_padded(
+            t0_pad, cd_pad, cdist, ws_new, wd_new, state.windspeed,
+            state.winddir, is_first, upd, params, nn_max,
+            row_offset=row_offset, nlat_total=nlat_total)
+        if params.skip_last_lat_row:
+            nlat = nlat_total if nlat_total is not None else t0.shape[0]
+            row_ok = ((row_offset + jnp.arange(t0.shape[0]))
+                      < nlat - 1)[:, None]
+            out_t0 = jnp.where(row_ok, t0, jnp.float32(0.0))
+        else:
+            out_t0 = t0
+        new_state = TriggerState(tt=state.tt + 1, thc=out_t0,
+                                 windspeed=ws_out, winddir=wd_out)
+        outputs = {"sb_con": out_sb, "t0": out_t0, "windspeed": ws_out,
+                   "winddir": wd_out}
+        return new_state, outputs
 
     if ring_pad_fn is None:
-        if use_pallas:
-            from .indexing import pad2d
-            from .pallas.ring_kernel import ring_thc_pallas_padded
-            n_thc = ring_thc_pallas_padded(
-                pad2d(t0, nn_max, nn_max,
-                      exact_lon=params.exact_lon_indexing),
-                pad2d(cdist, nn_max, nn_max,
-                      exact_lon=params.exact_lon_indexing), cdist, nn_max,
-                maxdist=params.maxdist)
-        else:
-            n_thc, _ = ring_thc(t0, cdist, nn_max,
-                                exact_lon=params.exact_lon_indexing,
-                                maxdist=params.maxdist)
-    elif use_pallas:
-        from .pallas.ring_kernel import ring_thc_pallas_padded
-        padded = ring_pad_fn(jnp.stack([t0, cdist]), nn_max)
-        n_thc = ring_thc_pallas_padded(padded[0], padded[1], cdist, nn_max,
-                                       maxdist=params.maxdist)
+        n_thc, _ = ring_thc(t0, cdist, nn_max,
+                            exact_lon=params.exact_lon_indexing,
+                            maxdist=params.maxdist)
     else:
         quant = ring_quantities(t0, cdist)
         mul = jnp.where(cdist >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
         n_thc, _ = ring_thc_from_padded(ring_pad_fn(quant, nn_max), mul,
                                         nn_max, coastal=coastal)
-    ws_new, wd_new = wind_at_level(u, v, pres, params.target_plev_pa)
 
     # First-timestep seeding (seabreeze_diag_python.f90:236-240): coastal
     # points adopt the fresh wind before differences are formed.
-    is_first = state.tt < 2
     ws_base = jnp.where(is_first & coastal, ws_new, state.windspeed)
     wd_base = jnp.where(is_first & coastal, wd_new, state.winddir)
 
@@ -148,8 +166,6 @@ def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
 
     # State update cadence (seabreeze_diag_python.f90:268-274): wind state
     # refreshes only every target_time hours; float32 arithmetic as Fortran.
-    upd = jnp.mod(state.tt.astype(jnp.float32) * params.timestep_seconds,
-                  params.target_time_seconds) < jnp.float32(1.0e-4)
     take_wind = coastal & (is_first | upd)
     ws_out = jnp.where(take_wind, ws_new, state.windspeed)
     wd_out = jnp.where(take_wind, wd_new, state.winddir)

@@ -91,3 +91,67 @@ def test_ring_kernel_matches_jnp(case, tile_rows, tile_cols, request):
     # the masked region must be exactly zero in both
     non_coastal = np.abs(np.asarray(cdist)) > 180.0
     assert (np.asarray(got)[non_coastal] == 0.0).all()
+
+
+@pytest.mark.parametrize("case", ["small_case", "global_case"])
+@pytest.mark.parametrize("tt,tile", [(1, (32, 64)), (5, (16, 128)),
+                                     (15, (64, 256))])
+def test_fused_trigger_kernel_matches_xla_step(case, tt, tile, request):
+    """The fused ring+tail kernel must reproduce the XLA trigger_step
+    exactly (same op order in the tail) across the state cadences:
+    tt=1 (first-step seeding), tt=5 (no wind refresh at the default
+    24-min/6-h cadence), tt=15 (6-hourly refresh step)."""
+    import jax.numpy as jnp
+    from seabreeze_param_tpu.core.params import Params
+    from seabreeze_param_tpu.core.state import TriggerState
+    from seabreeze_param_tpu.models.pipeline import TriggerPipeline
+    from seabreeze_param_tpu.ops.distance import coast_distance
+    from seabreeze_param_tpu.ops.indexing import pad2d
+    from seabreeze_param_tpu.ops.pallas.ring_kernel import (
+        ring_trigger_pallas_padded)
+    from seabreeze_param_tpu.ops.trigger import trigger_step, wind_at_level
+
+    c = request.getfixturevalue(case)
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    pipe = TriggerPipeline(grid)
+    params = Params()
+    nn = pipe.nn_max
+    coast = get_edges(c["lsm"], c["ci_t"][0])
+    cdist = coast_distance(coast, c["lsm"], grid, 180.0)
+
+    rng = np.random.default_rng(7)
+    shape = c["lsm"].shape
+    state = TriggerState(
+        tt=jnp.int32(tt),
+        thc=jnp.asarray(290 + rng.standard_normal(shape), jnp.float32),
+        windspeed=jnp.asarray(5 + rng.random(shape), jnp.float32),
+        winddir=jnp.asarray(360 * rng.random(shape) - 180, jnp.float32))
+    theta = jnp.asarray(288 + 5 * rng.standard_normal(shape), jnp.float32)
+    nlev = len(c["p"])
+    u = jnp.asarray(6 * rng.standard_normal((nlev,) + shape), jnp.float32)
+    v = jnp.asarray(6 * rng.standard_normal((nlev,) + shape), jnp.float32)
+
+    ref_state, ref_out = trigger_step(state, theta, u, v, cdist, c["z"],
+                                      c["std"], c["p"], params, nn,
+                                      use_pallas=False)
+
+    # fused kernel, driven with the same t0/wind the XLA path derives
+    from seabreeze_param_tpu.ops.orography import sigmoid_weight
+    from seabreeze_param_tpu.ops.trigger import sea_level_temperature
+    smod = sigmoid_weight(c["std"])
+    t0 = sea_level_temperature(theta, c["z"], smod)
+    ws_new, wd_new = wind_at_level(u, v, c["p"], params.target_plev_pa)
+    is_first = state.tt < 2
+    upd = jnp.mod(state.tt.astype(jnp.float32) * params.timestep_seconds,
+                  params.target_time_seconds) < jnp.float32(1.0e-4)
+    sb, ws_o, wd_o = ring_trigger_pallas_padded(
+        pad2d(t0, nn, nn), pad2d(cdist, nn, nn), cdist, ws_new, wd_new,
+        state.windspeed, state.winddir, is_first, upd, params, nn,
+        tile_rows=tile[0], tile_cols=tile[1], interpret=True)
+
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(ref_out["sb_con"]),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(ws_o),
+                                  np.asarray(ref_state.windspeed))
+    np.testing.assert_array_equal(np.asarray(wd_o),
+                                  np.asarray(ref_state.winddir))

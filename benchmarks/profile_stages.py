@@ -58,19 +58,22 @@ def timeit_scanned(make_scan_fn, init_carry, iters, repeats=3, fields=()):
             return float(jax.tree_util.tree_leaves(carry)[-1])
 
         fetch(run(init_carry, *fields))
-        best = np.inf
+        times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             fetch(run(init_carry, *fields))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            times.append(time.perf_counter() - t0)
+        return min(times), max(times) - min(times)
 
-    t1 = total(iters)
-    t4 = total(4 * iters)
+    t1, spread1 = total(iters)
+    t4, spread4 = total(4 * iters)
     slope = (t4 - t1) / (3 * iters)
     # Repeat-to-repeat jitter bounds what the slope can resolve; flag rows
-    # whose cost is within noise rather than printing a misleading negative.
-    noise = 0.02 * max(t1, t4) / (3 * iters)
+    # whose cost is within noise rather than printing a misleading number.
+    # The bound comes from the OBSERVED spread of each total() measurement
+    # (not a fraction of wall time, which is dominated by the fixed
+    # dispatch latency the slope method cancels).
+    noise = (spread1 + spread4) / (3 * iters)
     return max(slope, 0.0), slope < noise
 
 

@@ -25,7 +25,7 @@ from ..io import Config, Meta, read_nc
 
 
 def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
-         max_retries=2, **diag_kwargs):
+         max_retries=2, watchdog_s=None, **diag_kwargs):
     """Run the batch pipeline; returns the final (tt, thc, ws, wd) state.
 
     With ``ckpt_dir`` the per-file loop runs under the elastic-recovery
@@ -92,9 +92,10 @@ def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
                          winddir=np.zeros(shape, np.float32))
     if ckpt_dir:
         from ..utils.resilience import run_resilient
-        state, _ = run_resilient(list(meta.dates), process, state,
-                                 str(ckpt_dir), save_every=int(save_every),
-                                 max_retries=int(max_retries))
+        state, _ = run_resilient(
+            list(meta.dates), process, state, str(ckpt_dir),
+            save_every=int(save_every), max_retries=int(max_retries),
+            watchdog_deadline_s=(float(watchdog_s) if watchdog_s else None))
     else:
         for tstring in meta.dates:
             state = process(state, tstring)
@@ -104,18 +105,20 @@ def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
 
 
 HELP = """
-Module to run the seabreeze detection.
+Batch driver for the TPU sea-breeze trigger pipeline.
 
 Usage:
     python -m seabreeze_param_tpu.cli.run --option=value
 
 Options:
-    config           : The configuration file that contains all information
-                       to run the sea-breeze detection (default: ./run.conf)
+    config           : path to the run configuration (data directory, static
+                       files, variable names, date range; default: ./run.conf)
     ckpt_dir         : checkpoint directory; enables elastic recovery +
                        resume across reruns (default: off)
     save_every       : checkpoint cadence in files (default: 1)
     max_retries      : transient-failure retries per file (default: 2)
+    watchdog_s       : liveness deadline in seconds — abort + restart a file
+                       that makes no progress for this long (default: off)
     any diag kwarg   : science-parameter override, e.g. --maxdist=250
 """
 

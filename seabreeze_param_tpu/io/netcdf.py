@@ -169,8 +169,6 @@ class Variable:
             self._raw[key] = value
             return
         value = np.asarray(value)
-        if key == slice(None) and None in self.shape:
-            pass
         if key == slice(None):
             # grow unlimited first axis to fit (netCDF append semantics)
             if self._raw.maxshape[0] is None and \

@@ -44,6 +44,12 @@ class TriggerPipeline:
     # Optional explicit ring-search bound (see ops.ring_search.
     # required_ring_radius_host); None = the provable global-grid bound.
     ring_nn: int | None = None
+    # Distance-transform implementation ('auto' | 'xla' | 'hybrid' |
+    # 'pallas'); 'auto' resolves per backend (ops.distance.resolve_impl).
+    distance_impl: str = "auto"
+    # Run every Pallas kernel in interpret mode (CPU testing of the TPU
+    # production path — the fake-backend pattern of SURVEY §4b).
+    pallas_interpret: bool = False
 
     @property
     def k(self) -> int:
@@ -65,7 +71,9 @@ class TriggerPipeline:
         """Coastline + signed coast distance for one (lsm, sea-ice) pair."""
         coast = get_edges(lsm, ci, exact_lon=self.params.exact_lon_indexing)
         return coast_distance(coast, lsm, self.grid, self.params.maxdist,
-                              use_pallas=self.use_pallas)
+                              use_pallas=self.use_pallas,
+                              impl=self.distance_impl,
+                              interpret=self.pallas_interpret)
 
     def step(self, state: TriggerState, theta, u, v, lsm, z, std, pres,
              ci=None, smod=None):
@@ -73,7 +81,8 @@ class TriggerPipeline:
         cdist = self.distance_field(lsm, ci)
         return trigger_step(state, theta, u, v, cdist, z, std, pres,
                             self.params, self.nn_max, smod=smod,
-                            use_pallas=self.use_pallas)
+                            use_pallas=self.use_pallas,
+                            pallas_interpret=self.pallas_interpret)
 
     # ------------------------------------------------------------------
     def run(self, state: TriggerState, theta_t, u_t, v_t, lsm, z, std, pres,
@@ -103,7 +112,8 @@ class TriggerPipeline:
                 th, uu, vv = xs
                 new_state, out = trigger_step(
                     carry, th, uu, vv, cdist0, z, std, pres, self.params,
-                    self.nn_max, use_pallas=self.use_pallas)
+                    self.nn_max, use_pallas=self.use_pallas,
+                    pallas_interpret=self.pallas_interpret)
             else:
                 th, uu, vv, ci = xs
                 new_state, out = self.step(carry, th, uu, vv, lsm, z, std,

@@ -159,7 +159,8 @@ def pass2_min(Mmin, Mmax, sdphi2, po, k: int, *,
 
 def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int,
                                     *, unroll: bool | None = None,
-                                    impl: str = "xla"):
+                                    impl: str = "xla",
+                                    interpret: bool = False):
     """Core gather-min over a k-padded coast block — separable two-pass form.
 
     ``cpad`` is (h+2k, w+2k): rows beyond the *global* lat edge zero-filled
@@ -204,7 +205,8 @@ def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int,
     Mmin, Mmax = pass1_extrema(cpad, sdlam2, k, unroll=unroll)
     if impl == "hybrid":
         from .pallas.distance_kernel import pass2_min_pallas
-        return pass2_min_pallas(Mmin, Mmax, sdphi2, po, k)
+        return pass2_min_pallas(Mmin, Mmax, sdphi2, po, k,
+                                interpret=interpret)
     return pass2_min(Mmin, Mmax, sdphi2, po, k, unroll=unroll)
 
 
@@ -257,7 +259,7 @@ def resolve_impl(impl: str) -> str:
 
 def coast_distance(coast, lsm, grid: Grid, maxdist: float = 180.0,
                    *, k: int | None = None, use_pallas: bool = False,
-                   impl: str = "auto"):
+                   impl: str = "auto", interpret: bool = False):
     """Full ``get_dist`` equivalent: signed km distance to the nearest
     coastline cell, positive over land, negative over sea, 12000 km sentinel
     beyond 2*maxdist.
@@ -283,8 +285,10 @@ def coast_distance(coast, lsm, grid: Grid, maxdist: float = 180.0,
     impl = resolve_impl(impl)
     if impl == "pallas":
         from .pallas.distance_kernel import min_haversine_param_pallas
-        amin = min_haversine_param_pallas(coast, *tables, k_eff)
+        amin = min_haversine_param_pallas(coast, *tables, k_eff,
+                                          interpret=interpret)
     else:
         amin = min_haversine_param_from_padded(
-            pad_coast(coast, k_eff), *tables, k_eff, impl=impl)
+            pad_coast(coast, k_eff), *tables, k_eff, impl=impl,
+            interpret=interpret)
     return finalize_distance(amin, lsm, maxdist)

@@ -245,7 +245,9 @@ def pass2_min_pallas(Mmin, Mmax, sdphi2, po, k: int, *, tile_rows: int = 128,
     h = Mmin.shape[0] - 2 * k
     w = Mmin.shape[1]
     th = min(tile_rows, _round_up(h, 8))
-    tw = min(tile_cols, _round_up(w, 128))
+    # tw must be a lane-quantum multiple: the per-tile HBM DMA slices
+    # pl.ds(jj*tw, tw) are only tile-aligned for f32 when tw % 128 == 0.
+    tw = min(_round_up(tile_cols, 128), _round_up(w, 128))
     ni = -(-h // th)
     nj = -(-w // tw)
     hp = ni * th

@@ -65,7 +65,8 @@ def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
                  params: Params, nn_max: int, *, smod=None,
                  axis_names: tuple[str, ...] = (), ring_pad_fn=None,
                  row_offset=0, nlat_total: int | None = None,
-                 valid_mask=None, use_pallas: bool = False):
+                 valid_mask=None, use_pallas: bool = False,
+                 pallas_interpret: bool = False):
     """One trigger timestep.
 
     Parameters mirror the Fortran ``diag`` argument list
@@ -115,18 +116,25 @@ def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
         out_sb, ws_out, wd_out = ring_trigger_pallas_padded(
             t0_pad, cd_pad, cdist, ws_new, wd_new, state.windspeed,
             state.winddir, is_first, upd, params, nn_max,
-            row_offset=row_offset, nlat_total=nlat_total)
+            row_offset=row_offset, nlat_total=nlat_total,
+            interpret=pallas_interpret)
         if params.skip_last_lat_row:
+            # The kernel freezes the last row's wind STATE (returns the
+            # carried wss/wds there); the OUTPUT slots must still be zero
+            # like the XLA path's (reference never writes that row).
             nlat = nlat_total if nlat_total is not None else t0.shape[0]
             row_ok = ((row_offset + jnp.arange(t0.shape[0]))
                       < nlat - 1)[:, None]
-            out_t0 = jnp.where(row_ok, t0, jnp.float32(0.0))
+            zero = jnp.float32(0.0)
+            out_t0 = jnp.where(row_ok, t0, zero)
+            out_ws = jnp.where(row_ok, ws_out, zero)
+            out_wd = jnp.where(row_ok, wd_out, zero)
         else:
-            out_t0 = t0
+            out_t0, out_ws, out_wd = t0, ws_out, wd_out
         new_state = TriggerState(tt=state.tt + 1, thc=out_t0,
                                  windspeed=ws_out, winddir=wd_out)
-        outputs = {"sb_con": out_sb, "t0": out_t0, "windspeed": ws_out,
-                   "winddir": wd_out}
+        outputs = {"sb_con": out_sb, "t0": out_t0, "windspeed": out_ws,
+                   "winddir": out_wd}
         return new_state, outputs
 
     if ring_pad_fn is None:

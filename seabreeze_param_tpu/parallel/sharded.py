@@ -81,6 +81,19 @@ class ShardedPipeline:
         self.k = self.pipeline.k
         self.tables = distance_tables(self.grid_padded, self.k)
         self.nn_max = self.pipeline.nn_max
+        # Halo-width guard: halo_pad slices hy/hx-wide strips out of the
+        # LOCAL shard, so every exchanged width must fit inside one shard
+        # (a mesh too large for the grid would otherwise exchange
+        # garbage-width strips or fail deep inside shard_map).
+        local_h = self.nlat_pad // py
+        local_w = grid.nlon // px
+        widest = max(1, self.k, self.nn_max)
+        if widest > local_h or widest > local_w:
+            raise ValueError(
+                f"halo width {widest} (max of sobel=1, distance k={self.k}, "
+                f"ring nn_max={self.nn_max}) exceeds the local shard extent "
+                f"{local_h}x{local_w} on a {py}x{px} mesh; use fewer shards "
+                f"or a finer grid")
 
     # ------------------------------------------------------------------
     def _core(self, state, xs, lsm, z, std, pres, sdphi2, po, sdlam2, *,
@@ -105,7 +118,8 @@ class ShardedPipeline:
                             exact_lon=False)
             amin = min_haversine_param_from_padded(
                 cpad, sdphi2, po, sdlam2, self.k,
-                impl=resolve_impl("auto"))
+                impl=resolve_impl(pipe.distance_impl),
+                interpret=pipe.pallas_interpret)
             return finalize_distance(amin, lsm, params.maxdist)
 
         # Static coastline (no sea ice): one distance transform outside the
@@ -123,7 +137,8 @@ class ShardedPipeline:
                 carry, th, uu, vv, cdist, z, std, pres, params, self.nn_max,
                 axis_names=(AXIS_Y, AXIS_X), ring_pad_fn=ring_pad,
                 row_offset=row_offset, nlat_total=self.nlat_real,
-                valid_mask=valid, use_pallas=pipe.use_pallas)
+                valid_mask=valid, use_pallas=pipe.use_pallas,
+                pallas_interpret=pipe.pallas_interpret)
             return new_state, out
 
         return lax.scan(scan_fn, state, xs)

@@ -155,3 +155,64 @@ def test_fused_trigger_kernel_matches_xla_step(case, tt, tile, request):
                                   np.asarray(ref_state.windspeed))
     np.testing.assert_array_equal(np.asarray(wd_o),
                                   np.asarray(ref_state.winddir))
+
+
+@pytest.mark.parametrize("case", ["small_case", "global_case"])
+@pytest.mark.parametrize("tt", [1, 5, 15])
+def test_trigger_step_pallas_matches_xla(case, tt, request):
+    """The COMPLETE use_pallas=True trigger_step (interpret mode) vs the XLA
+    path — all four output slots AND the carried state.  In particular the
+    last-lat-row quirk: outputs must be zero there (reference never writes
+    that row) while the wind STATE stays frozen at the carried value."""
+    import jax.numpy as jnp
+    from seabreeze_param_tpu.core.params import Params
+    from seabreeze_param_tpu.core.state import TriggerState
+    from seabreeze_param_tpu.models.pipeline import TriggerPipeline
+    from seabreeze_param_tpu.ops.distance import coast_distance
+    from seabreeze_param_tpu.ops.trigger import trigger_step
+
+    c = request.getfixturevalue(case)
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    pipe = TriggerPipeline(grid)
+    params = Params()
+    nn = pipe.nn_max
+    coast = get_edges(c["lsm"], c["ci_t"][0])
+    cdist = coast_distance(coast, c["lsm"], grid, 180.0)
+
+    rng = np.random.default_rng(11)
+    shape = c["lsm"].shape
+    state = TriggerState(
+        tt=jnp.int32(tt),
+        thc=jnp.asarray(290 + rng.standard_normal(shape), jnp.float32),
+        windspeed=jnp.asarray(5 + rng.random(shape), jnp.float32),
+        winddir=jnp.asarray(360 * rng.random(shape) - 180, jnp.float32))
+    theta = jnp.asarray(288 + 5 * rng.standard_normal(shape), jnp.float32)
+    nlev = len(c["p"])
+    u = jnp.asarray(6 * rng.standard_normal((nlev,) + shape), jnp.float32)
+    v = jnp.asarray(6 * rng.standard_normal((nlev,) + shape), jnp.float32)
+
+    ref_state, ref_out = trigger_step(state, theta, u, v, cdist, c["z"],
+                                      c["std"], c["p"], params, nn,
+                                      use_pallas=False)
+    got_state, got_out = trigger_step(state, theta, u, v, cdist, c["z"],
+                                      c["std"], c["p"], params, nn,
+                                      use_pallas=True, pallas_interpret=True)
+
+    for key in ("sb_con", "t0", "windspeed", "winddir"):
+        g, r = np.asarray(got_out[key]), np.asarray(ref_out[key])
+        miss = r == np.float32(2.0e20)
+        np.testing.assert_array_equal(g == np.float32(2.0e20), miss,
+                                      err_msg=key)
+        np.testing.assert_allclose(g[~miss], r[~miss], rtol=2e-5, atol=2e-4,
+                                   err_msg=key)
+    assert int(got_state.tt) == int(ref_state.tt)
+    np.testing.assert_allclose(np.asarray(got_state.thc),
+                               np.asarray(ref_state.thc), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_state.windspeed),
+                                  np.asarray(ref_state.windspeed))
+    np.testing.assert_array_equal(np.asarray(got_state.winddir),
+                                  np.asarray(ref_state.winddir))
+    # the quirk itself: zero outputs, frozen state, in the last real row
+    np.testing.assert_array_equal(np.asarray(got_out["windspeed"])[-1], 0.0)
+    np.testing.assert_array_equal(np.asarray(got_state.windspeed)[-1],
+                                  np.asarray(state.windspeed)[-1])

@@ -89,6 +89,16 @@ def test_sharded_lat_padding(global_case):
     _assert_state_close(got_state, ref_state)
 
 
+def test_halo_width_guard(small_case):
+    """A mesh whose local shard is narrower than the widest halo must be
+    rejected up front (silent garbage-width exchanges otherwise)."""
+    c = small_case
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    pipe = TriggerPipeline(grid, ring_nn=50)   # force nn_max > 64/8 shard
+    with pytest.raises(ValueError, match="halo width"):
+        ShardedPipeline(pipe, make_mesh((8, 1)))
+
+
 def test_sharded_static_coastline_matches_single_device(small_case):
     """ci_t=None: the distance transform runs once outside the scan in both
     pipelines; results must still agree."""

@@ -89,6 +89,23 @@ def test_sharded_lat_padding(global_case):
     _assert_state_close(got_state, ref_state)
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_pallas_production_path(small_case, mesh_shape):
+    """THE production combination on a TPU pod — shard_map + fused Pallas
+    ring/trigger kernel + hybrid distance (XLA pass 1 / Pallas pass 2) —
+    executed on the virtual CPU mesh via interpret mode, against the
+    single-device XLA reference."""
+    c = small_case
+    nsteps = 2
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    ref_state, ref_out = _run_single(TriggerPipeline(grid), c, nsteps)
+    pipe = TriggerPipeline(grid, use_pallas=True, distance_impl="hybrid",
+                           pallas_interpret=True)
+    got_state, got_out = _run_sharded(pipe, mesh_shape, c, nsteps)
+    _assert_outputs_close(got_out, ref_out)
+    _assert_state_close(got_state, ref_state)
+
+
 def test_halo_width_guard(small_case):
     """A mesh whose local shard is narrower than the widest halo must be
     rejected up front (silent garbage-width exchanges otherwise)."""

@@ -61,6 +61,68 @@ def _enable_compile_cache():
     enable()
 
 
+def verify(grid_name: str, nlev: int):
+    """On-device numerical check of the production kernels: one full step
+    with the fused Pallas kernels + hybrid distance vs the pure-XLA path,
+    on the actual backend under test (SURVEY §4c's allclose gate on real
+    silicon — interpret-mode tests cannot catch a Mosaic miscompile).
+
+    Returns True when outputs agree (identical missing-value structure,
+    allclose elsewhere, state windspeed/winddir bit-equal).
+    """
+    import jax
+    import jax.numpy as jnp
+    from seabreeze_param_tpu.core.grid import Grid
+    from seabreeze_param_tpu.core.state import TriggerState
+    from seabreeze_param_tpu.models.pipeline import TriggerPipeline
+
+    nlat, nlon = GRIDS[grid_name]
+    lsm, z, std, pres, theta, u, v, ci = make_world(nlat, nlon, nlev, 1,
+                                                    seed=3)
+    grid = Grid.regular(nlat, nlon, lat0=90.0, lat1=-90.0)
+    outs = {}
+    for name, kw in (("pallas", dict(use_pallas=True,
+                                     distance_impl="hybrid")),
+                     ("xla", dict(use_pallas=False, distance_impl="xla"))):
+        pipe = TriggerPipeline(grid, **kw)
+        # tt=15 exercises the 6-hourly wind-refresh cadence branch too
+        state = TriggerState(tt=jnp.int32(15),
+                             thc=jnp.zeros((nlat, nlon), jnp.float32),
+                             windspeed=jnp.full((nlat, nlon), 5.0,
+                                                jnp.float32),
+                             winddir=jnp.full((nlat, nlon), 90.0,
+                                              jnp.float32))
+        fn = jax.jit(lambda s, th, uu, vv, cc, l, zz, sd, p, pipe=pipe:
+                     pipe.step(s, th, uu, vv, l, zz, sd, p, ci=cc))
+        st, out = fn(state, jnp.asarray(theta[0]), jnp.asarray(u[0]),
+                     jnp.asarray(v[0]), jnp.asarray(ci[0]),
+                     jnp.asarray(lsm), jnp.asarray(z), jnp.asarray(std),
+                     jnp.asarray(pres))
+        outs[name] = {k: np.asarray(val) for k, val in out.items()}
+        outs[name]["_ws_state"] = np.asarray(st.windspeed)
+        outs[name]["_wd_state"] = np.asarray(st.winddir)
+    ok = True
+    for key in ("sb_con", "t0", "windspeed", "winddir"):
+        g, r = outs["pallas"][key], outs["xla"][key]
+        miss_g, miss_r = g == np.float32(2e20), r == np.float32(2e20)
+        if not np.array_equal(miss_g, miss_r):
+            ok = False
+            print(f"# VERIFY FAIL {key}: missing-value structure differs",
+                  file=sys.stderr)
+            continue
+        sel = ~miss_r
+        if not np.allclose(g[sel], r[sel], rtol=2e-5, atol=2e-4):
+            bad = np.abs(g[sel] - r[sel]).max()
+            ok = False
+            print(f"# VERIFY FAIL {key}: max abs diff {bad}",
+                  file=sys.stderr)
+    for key in ("_ws_state", "_wd_state"):
+        if not np.array_equal(outs["pallas"][key], outs["xla"][key]):
+            ok = False
+            print(f"# VERIFY FAIL {key}: state differs", file=sys.stderr)
+    return ok
+
+
 def run(grid_name: str, steps: int, nlev: int, use_pallas: bool,
         repeats: int = 3, passes: int = 8):
     import jax
@@ -136,6 +198,10 @@ def main():
                          "on for TPU backends, off elsewhere)")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--verify", default=None, action="store_true",
+                    help="on-device Pallas-vs-XLA allclose check of one "
+                         "full step (default: on for TPU backends)")
+    ap.add_argument("--no-verify", dest="verify", action="store_false")
     args = ap.parse_args()
 
     _enable_compile_cache()
@@ -145,6 +211,10 @@ def main():
         # Auto: the fused Pallas kernels are the production path on TPU
         # (~1.6x the XLA path); fall back to pure-XLA elsewhere.
         args.pallas = platform not in ("cpu", "gpu")
+    if args.verify is None:
+        args.verify = args.pallas
+
+    verified = verify(args.grid, args.nlev) if args.verify else None
 
     throughput, step_s, k, nn = run(args.grid, args.steps, args.nlev,
                                     args.pallas, args.repeats, args.passes)
@@ -159,14 +229,17 @@ def main():
         if ref:
             vs = throughput / ref
 
-    print(json.dumps({
+    line = {
         "metric": f"trigger-pipeline throughput, {args.grid} "
                   f"({platform}, k={k}, nn={nn}, "
                   f"{args.steps * args.passes} steps)",
         "value": round(throughput, 1),
         "unit": "grid-points/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if verified is not None:
+        line["verified"] = bool(verified)
+    print(json.dumps(line))
     print(f"# step time: {step_s*1e3:.2f} ms/step", file=sys.stderr)
 
 

@@ -19,7 +19,7 @@ from jax import lax
 from ..core.params import Params, RAD2DEG_TRIGGER, GMMA, MISSING_VALUE
 from ..core.state import TriggerState
 from .orography import sigmoid_weight
-from .ring_search import ring_thc, ring_quantities, ring_thc_from_padded
+from .ring_search import ring_quantities, ring_thc_from_padded
 
 
 def sea_level_temperature(theta, z, smod):
@@ -61,40 +61,25 @@ def wind_at_level(u, v, pres, target_plev_pa):
     return speed, direction
 
 
-def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
-                 params: Params, nn_max: int, *, smod=None,
-                 axis_names: tuple[str, ...] = (), ring_pad_fn=None,
-                 row_offset=0, nlat_total: int | None = None,
-                 valid_mask=None, use_pallas: bool = False,
+def trigger_core(state: TriggerState, t0, cdist, ws_new, wd_new, t0_pad,
+                 cd_pad, params: Params, nn_max: int, *, row_offset=0,
+                 nlat_total: int | None = None, use_pallas: bool = False,
                  pallas_interpret: bool = False):
-    """One trigger timestep.
+    """The per-cell part of a trigger timestep, from pre-padded inputs.
 
-    Parameters mirror the Fortran ``diag`` argument list
-    (seabreeze_diag_python.f90:49-52) with the persistent triple carried in
-    ``state``.  ``nn_max`` is the static ring-search bound.  ``smod`` may be
-    passed precomputed (it depends only on the static ``std`` field; the
-    reference recomputes it every call, seabreeze_diag_python.f90:157 — the
-    result is identical either way).
-
-    Sharded operation (called inside ``shard_map`` by ``parallel.sharded``):
-    ``ring_pad_fn(quant_stack, nn_max)`` supplies the halo-exchange pad for
-    the ring search, ``axis_names`` routes the sigmoid's global reductions,
-    ``row_offset``/``nlat_total`` locate this block's rows in the global
-    grid (for the last-row quirk), and ``valid_mask`` flags
-    replication-padding cells excluded from global statistics.
-
-    Returns ``(new_state, outputs)`` with outputs a dict of the four Fortran
-    output slots (seabreeze_diag_python.f90:277-280): ``sb_con``, ``t0``,
-    ``windspeed``, ``winddir``.
+    Everything of the Fortran ``diag`` downstream of t0 and the wind-level
+    selection (seabreeze_diag_python.f90:165-282): the expanding-ring THC,
+    the four threshold rules, scaling, and state update.  ``t0_pad`` /
+    ``cd_pad`` are the (h+2NN, w+2NN) ring-search inputs, boundary-resolved
+    through the reference maps (single-device ``pad2d``; sharded: halo
+    exchange + ``parallel.halo.quirky_seam_patch``) — precomputing them is
+    what lets the sharded caller overlap the exchange with the wind
+    compute.  ``t0``/``cdist`` are the unpadded centers (the target cell's
+    own class/coastal predicate is read unremapped,
+    seabreeze_diag_python.f90:171,220).
     """
-    if smod is None:
-        smod = sigmoid_weight(std, axis_names=axis_names,
-                              valid_mask=valid_mask)
-    t0 = sea_level_temperature(theta, z, smod)
-
     cdist = jnp.asarray(cdist, jnp.float32)
     coastal = jnp.abs(cdist) <= jnp.float32(params.maxdist)
-    ws_new, wd_new = wind_at_level(u, v, pres, params.target_plev_pa)
     is_first = state.tt < 2
     upd = jnp.mod(state.tt.astype(jnp.float32) * params.timestep_seconds,
                   params.target_time_seconds) < jnp.float32(1.0e-4)
@@ -104,15 +89,6 @@ def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
         # and the wind selection runs in one Pallas kernel (n_thc never
         # round-trips HBM, the tail rides the tiles' VMEM residency).
         from .pallas.ring_kernel import ring_trigger_pallas_padded
-        if ring_pad_fn is None:
-            from .indexing import pad2d
-            t0_pad = pad2d(t0, nn_max, nn_max,
-                           exact_lon=params.exact_lon_indexing)
-            cd_pad = pad2d(cdist, nn_max, nn_max,
-                           exact_lon=params.exact_lon_indexing)
-        else:
-            padded = ring_pad_fn(jnp.stack([t0, cdist]), nn_max)
-            t0_pad, cd_pad = padded[0], padded[1]
         out_sb, ws_out, wd_out = ring_trigger_pallas_padded(
             t0_pad, cd_pad, cdist, ws_new, wd_new, state.windspeed,
             state.winddir, is_first, upd, params, nn_max,
@@ -137,15 +113,11 @@ def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
                    "winddir": out_wd}
         return new_state, outputs
 
-    if ring_pad_fn is None:
-        n_thc, _ = ring_thc(t0, cdist, nn_max,
-                            exact_lon=params.exact_lon_indexing,
-                            maxdist=params.maxdist)
-    else:
-        quant = ring_quantities(t0, cdist)
-        mul = jnp.where(cdist >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
-        n_thc, _ = ring_thc_from_padded(ring_pad_fn(quant, nn_max), mul,
-                                        nn_max, coastal=coastal)
+    # XLA path: quantities computed elementwise ON the padded fields —
+    # identical to padding the quantities (every pad slot is a value copy).
+    mul = jnp.where(cdist >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+    n_thc, _ = ring_thc_from_padded(ring_quantities(t0_pad, cd_pad), mul,
+                                    nn_max, coastal=coastal)
 
     # First-timestep seeding (seabreeze_diag_python.f90:236-240): coastal
     # points adopt the fresh wind before differences are formed.
@@ -200,3 +172,53 @@ def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
     outputs = {"sb_con": out_sb, "t0": out_t0, "windspeed": out_ws,
                "winddir": out_wd}
     return new_state, outputs
+
+
+def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
+                 params: Params, nn_max: int, *, smod=None,
+                 axis_names: tuple[str, ...] = (), ring_pad_fn=None,
+                 row_offset=0, nlat_total: int | None = None,
+                 valid_mask=None, use_pallas: bool = False,
+                 pallas_interpret: bool = False):
+    """One trigger timestep.
+
+    Parameters mirror the Fortran ``diag`` argument list
+    (seabreeze_diag_python.f90:49-52) with the persistent triple carried in
+    ``state``.  ``nn_max`` is the static ring-search bound.  ``smod`` may be
+    passed precomputed (it depends only on the static ``std`` field; the
+    reference recomputes it every call, seabreeze_diag_python.f90:157 — the
+    result is identical either way).
+
+    Sharded operation: ``ring_pad_fn(stack, nn_max)`` supplies the
+    halo-exchange pad for the ring inputs, ``axis_names`` routes the
+    sigmoid's global reductions, ``row_offset``/``nlat_total`` locate this
+    block's rows in the global grid (for the last-row quirk), and
+    ``valid_mask`` flags replication-padding cells excluded from global
+    statistics.  (The overlapped sharded pipeline in ``parallel.sharded``
+    instead calls :func:`trigger_core` directly with halo-exchanged pads.)
+
+    Returns ``(new_state, outputs)`` with outputs a dict of the four Fortran
+    output slots (seabreeze_diag_python.f90:277-280): ``sb_con``, ``t0``,
+    ``windspeed``, ``winddir``.
+    """
+    if smod is None:
+        smod = sigmoid_weight(std, axis_names=axis_names,
+                              valid_mask=valid_mask)
+    t0 = sea_level_temperature(theta, z, smod)
+    cdist = jnp.asarray(cdist, jnp.float32)
+    ws_new, wd_new = wind_at_level(u, v, pres, params.target_plev_pa)
+
+    if ring_pad_fn is None:
+        from .indexing import pad2d
+        t0_pad = pad2d(t0, nn_max, nn_max,
+                       exact_lon=params.exact_lon_indexing)
+        cd_pad = pad2d(cdist, nn_max, nn_max,
+                       exact_lon=params.exact_lon_indexing)
+    else:
+        padded = ring_pad_fn(jnp.stack([t0, cdist]), nn_max)
+        t0_pad, cd_pad = padded[0], padded[1]
+
+    return trigger_core(state, t0, cdist, ws_new, wd_new, t0_pad, cd_pad,
+                        params, nn_max, row_offset=row_offset,
+                        nlat_total=nlat_total, use_pallas=use_pallas,
+                        pallas_interpret=pallas_interpret)

@@ -3,8 +3,51 @@
 2-D spatial domain decomposition with explicit ICI halo exchange — the
 TPU-native re-design of the reference's MPI-decomposed UM variant
 (``UM/vn10.7/sea_breeze_diag.F90``, SURVEY §2.8, §5.8).  Everything that was
-a ``swap_bounds`` call becomes a ``parallel.halo.halo_pad``; the sigmoid's
+a ``swap_bounds`` call becomes a ``parallel.halo`` exchange; the sigmoid's
 global statistics become psum/pmax/pmin (SURVEY §2 native-checklist item 2).
+
+Two step structures, selected per configuration:
+
+**Overlapped (production; SURVEY §7 item 6).**  The reference issues four
+blocking ``swap_bounds`` per step (``UM/...F90:408-410, 531-545``) — every
+exchange a barrier.  Here each step issues exactly TWO exchanges, both at
+the top of the step, and computes the rest of its halos locally:
+
+  1. ``mask`` with an (nn + k + 1)-wide apron — wide enough that the Sobel
+     coastline, the k-radius distance gather, and the ring search's nn-wide
+     cdist halo are all *computed* on the apron instead of exchanged
+     (communication traded for a few percent of replicated compute on the
+     apron ring);
+  2. ``theta`` with an nn-wide apron (t0 = theta - gmma*z*smod is
+     elementwise, and z's apron is static — exchanged once per dispatch).
+
+  Both exchanges are issued with ``halo_start`` before the step's biggest
+  independent compute — ``wind_at_level``, which reads the full 3-D u/v
+  fields — and finished after it, so the ICI transfers overlap that HBM
+  sweep under XLA's latency-hiding scheduler (ppermute lowers to async
+  collective-permute start/done on TPU).  The sigmoid's global reduction is
+  hoisted out of the time scan entirely (std is static), removing a
+  per-step collective barrier.
+
+**Basic (fallback).**  The apron trade needs nn + k + 1 <= the local shard
+extent; on very small shards (tiny grids / very wide meshes) the pipeline
+falls back to the previous structure — three narrower sequential exchanges
+(mask 1-wide, coast k-wide, ring inputs nn-wide) per step.
+
+Apron-replication correctness (the reason the overlapped form is exact):
+
+  * every halo/apron slot holds a positional copy of a global column/row,
+    so elementwise ops commute with the exchange;
+  * the quirky-lon seam differs from clean periodicity in exactly two
+    column slots, patched identically in every copy
+    (``parallel.halo.quirky_seam_patch``);
+  * coast cells sobel-computed on the apron replicate the owner's
+    computation bit-for-bit (same patched window values);
+  * spurious coast cells on beyond-globe apron rows (clamp-replicated mask)
+    cannot win the distance min: the global distance tables poison
+    out-of-grid source rows with BIG (``ops.distance.distance_tables``);
+  * beyond-globe cdist/t0 apron rows are explicitly clamp-replicated from
+    the globe-edge row, reproducing the reference's lat clamp.
 
 Lat divisibility is handled by **edge-row replication padding**, which is
 *exactly idempotent* under the reference's boundary semantics:
@@ -39,8 +82,10 @@ from ..models.pipeline import TriggerPipeline
 from ..ops.coastline import make_mask, sobel_edges_from_padded
 from ..ops.distance import (distance_tables, finalize_distance,
                             min_haversine_param_from_padded, resolve_impl)
-from ..ops.trigger import trigger_step
-from .halo import halo_pad
+from ..ops.orography import sigmoid_weight
+from ..ops.trigger import (sea_level_temperature, trigger_core, trigger_step,
+                           wind_at_level)
+from .halo import halo_finish, halo_pad, halo_start, quirky_seam_patch
 from .mesh import AXIS_Y, AXIS_X
 
 
@@ -59,11 +104,14 @@ class ShardedPipeline:
     """shard_map-parallel version of :class:`TriggerPipeline`.
 
     Requires nlon % mesh_x == 0; nlat is replication-padded to a multiple of
-    mesh_y.
+    mesh_y.  ``overlap`` selects the step structure: "auto" (default) uses
+    the overlapped two-exchange form whenever the mask apron fits the local
+    shard, else the basic three-exchange form; True/False force it.
     """
 
     pipeline: TriggerPipeline
     mesh: jax.sharding.Mesh
+    overlap: object = "auto"
 
     def __post_init__(self):
         grid = self.pipeline.grid
@@ -81,30 +129,126 @@ class ShardedPipeline:
         self.k = self.pipeline.k
         self.tables = distance_tables(self.grid_padded, self.k)
         self.nn_max = self.pipeline.nn_max
-        # Halo-width guard: halo_pad slices hy/hx-wide strips out of the
-        # LOCAL shard, so every exchanged width must fit inside one shard
-        # (a mesh too large for the grid would otherwise exchange
-        # garbage-width strips or fail deep inside shard_map).
+        # Halo-width guard: the exchanges slice strips out of the LOCAL
+        # shard, so every exchanged width must fit inside one shard (a mesh
+        # too large for the grid would otherwise exchange garbage-width
+        # strips or fail deep inside shard_map).
         local_h = self.nlat_pad // py
         local_w = grid.nlon // px
-        widest = max(1, self.k, self.nn_max)
+        a_m = self.nn_max + self.k + 1          # overlapped mask apron
+        basic = max(1, self.k, self.nn_max)     # basic-path widths
+        if self.overlap == "auto":
+            self.overlap = a_m <= local_h and a_m <= local_w
+        widest = a_m if self.overlap else basic
         if widest > local_h or widest > local_w:
             raise ValueError(
-                f"halo width {widest} (max of sobel=1, distance k={self.k}, "
-                f"ring nn_max={self.nn_max}) exceeds the local shard extent "
-                f"{local_h}x{local_w} on a {py}x{px} mesh; use fewer shards "
-                f"or a finer grid")
+                f"halo width {widest} (overlap={self.overlap}: mask apron "
+                f"nn+k+1={a_m}, basic max(1,k={self.k},nn={self.nn_max})="
+                f"{basic}) exceeds the local shard extent "
+                f"{local_h}x{local_w} on a {py}x{px} mesh; use fewer "
+                f"shards or a finer grid")
 
     # ------------------------------------------------------------------
-    def _core(self, state, xs, lsm, z, std, pres, sdphi2, po, sdlam2, *,
-              has_ci: bool = True):
-        """Per-shard scan over time (runs inside shard_map)."""
+    def _core_overlap(self, state, xs, lsm, z, std, pres, sdphi2_g, po_g,
+                      sdlam2_g, *, has_ci: bool = True):
+        """Overlapped per-shard scan (see module docstring)."""
         pipe = self.pipeline
         params = pipe.params
         exact = params.exact_lon_indexing
-        h = lsm.shape[0]
+        impl = resolve_impl(pipe.distance_impl)
+        h, w = lsm.shape
+        nn, k = self.nn_max, self.k
+        a_m = nn + k + 1
         row_offset = lax.axis_index(AXIS_Y) * h
+        col_offset = lax.axis_index(AXIS_X) * w
         valid = ((row_offset + jnp.arange(h)) < self.nlat_real)[:, None]
+
+        # --- once per dispatch: global stats, static aprons, ext tables --
+        smod = sigmoid_weight(std, axis_names=(AXIS_Y, AXIS_X),
+                              valid_mask=valid)
+        z_ext = halo_pad(z, nn, nn, lat_fill="clamp", exact_lon=False)
+        lsm_ext = halo_pad(lsm, nn, nn, lat_fill="clamp", exact_lon=False)
+        smod_ext = halo_pad(smod, nn, nn, lat_fill="clamp", exact_lon=False)
+        gr = row_offset - nn + jnp.arange(h + 2 * nn)
+        ridx = jnp.clip(gr, 0, self.nlat_pad - 1)
+        sdphi2_e = jnp.take(sdphi2_g, ridx, axis=0)
+        po_e = jnp.take(po_g, ridx, axis=0)
+        cidx = jnp.mod(col_offset - nn + jnp.arange(w + 2 * nn),
+                       self.grid_padded.nlon)
+        sdlam2_e = jnp.take(sdlam2_g, cidx, axis=0)
+        below = (gr < 0)[:, None]
+        above = (gr >= self.nlat_pad)[:, None]
+
+        def distance_ext(mask_pad):
+            """Signed coast distance on the (h+2nn, w+2nn) ext block, all
+            computed locally from the mask apron."""
+            coast_ext = sobel_edges_from_padded(mask_pad)
+            amin = min_haversine_param_from_padded(
+                coast_ext, sdphi2_e, po_e, sdlam2_e, k, impl=impl,
+                interpret=pipe.pallas_interpret)
+            cd = finalize_distance(amin, lsm_ext, params.maxdist)
+            # beyond-globe apron rows: the reference's lat clamp == the
+            # globe-edge row's values
+            cd = jnp.where(below, cd[nn:nn + 1, :], cd)
+            return jnp.where(above, cd[nn + h - 1:nn + h, :], cd)
+
+        cd_ext0 = None
+        if not has_ci:
+            mask = make_mask(lsm, None)
+            cd_ext0 = distance_ext(halo_pad(mask, a_m, a_m,
+                                            lat_fill="clamp",
+                                            exact_lon=exact))
+
+        def scan_fn(carry, x):
+            if has_ci:
+                th, uu, vv, ci = x
+                mask = make_mask(lsm, ci)
+                fm = halo_start(mask, a_m, a_m)
+            else:
+                th, uu, vv = x
+            ft = halo_start(th, nn, nn)
+            # the step's largest independent HBM read — overlaps the ICI
+            # transfers issued above
+            ws_new, wd_new = wind_at_level(uu, vv, pres,
+                                           params.target_plev_pa)
+            if has_ci:
+                mask_pad = halo_finish(mask, fm, a_m, a_m,
+                                       lat_fill="clamp", exact_lon=exact)
+                cd_ext = distance_ext(mask_pad)
+            else:
+                cd_ext = cd_ext0
+            th_pad = halo_finish(th, ft, nn, nn, lat_fill="clamp",
+                                 exact_lon=False)
+            t0_ext = sea_level_temperature(th_pad, z_ext, smod_ext)
+            t0 = t0_ext[nn:-nn, nn:-nn]
+            cdist = cd_ext[nn:-nn, nn:-nn]
+            if exact:
+                t0_ring = quirky_seam_patch(t0_ext, nn, w)
+                cd_ring = quirky_seam_patch(cd_ext, nn, w)
+            else:
+                t0_ring, cd_ring = t0_ext, cd_ext
+            return trigger_core(
+                carry, t0, cdist, ws_new, wd_new, t0_ring, cd_ring, params,
+                nn, row_offset=row_offset, nlat_total=self.nlat_real,
+                use_pallas=pipe.use_pallas,
+                pallas_interpret=pipe.pallas_interpret)
+
+        return lax.scan(scan_fn, state, xs)
+
+    # ------------------------------------------------------------------
+    def _core_basic(self, state, xs, lsm, z, std, pres, sdphi2_g, po_g,
+                    sdlam2_g, *, has_ci: bool = True):
+        """Basic per-shard scan: three sequential exchanges per step."""
+        pipe = self.pipeline
+        params = pipe.params
+        exact = params.exact_lon_indexing
+        h, w = lsm.shape
+        row_offset = lax.axis_index(AXIS_Y) * h
+        col_offset = lax.axis_index(AXIS_X) * w
+        valid = ((row_offset + jnp.arange(h)) < self.nlat_real)[:, None]
+        sdphi2 = lax.dynamic_slice_in_dim(sdphi2_g, row_offset, h, 0)
+        po = lax.dynamic_slice_in_dim(po_g, row_offset, h, 0)
+        sdlam2 = lax.dynamic_slice_in_dim(sdlam2_g, col_offset, w, 0)
 
         def ring_pad(q, nn):
             return halo_pad(q, nn, nn, lat_fill="clamp", exact_lon=exact)
@@ -143,6 +287,12 @@ class ShardedPipeline:
 
         return lax.scan(scan_fn, state, xs)
 
+    def _core(self, state, xs, lsm, z, std, pres, sdphi2_g, po_g, sdlam2_g,
+              *, has_ci: bool = True):
+        core = self._core_overlap if self.overlap else self._core_basic
+        return core(state, xs, lsm, z, std, pres, sdphi2_g, po_g, sdlam2_g,
+                    has_ci=has_ci)
+
     # ------------------------------------------------------------------
     def build(self, has_ci: bool = True):
         """The jitted shard_map-wrapped scan function (cached per variant —
@@ -158,8 +308,10 @@ class ShardedPipeline:
                    P(None, None, AXIS_Y, AXIS_X))
         if has_ci:
             xs_spec = xs_spec + (P(None, AXIS_Y, AXIS_X),)
+        # Distance tables ride replicated: each shard gathers the table rows
+        # of its (apron-extended) block itself — a few hundred KB at 0.1 deg.
         in_specs = (state_spec, xs_spec, fld, fld, fld, P(),
-                    P(AXIS_Y, None), P(AXIS_Y, None), P(AXIS_X, None))
+                    P(None, None), P(None, None), P(None, None))
         out_specs = (state_spec,
                      {k: P(None, AXIS_Y, AXIS_X)
                       for k in ("sb_con", "t0", "windspeed", "winddir")})

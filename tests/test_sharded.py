@@ -89,6 +89,37 @@ def test_sharded_lat_padding(global_case):
     _assert_state_close(got_state, ref_state)
 
 
+def test_sharded_overlap_matches_basic(small_case):
+    """The overlapped two-exchange step structure and the basic
+    three-exchange structure must produce identical results on the same
+    mesh (the apron-replication correctness argument, sharded.py
+    docstring)."""
+    c = small_case
+    nsteps = 2
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    pipe = TriggerPipeline(grid)
+    mesh = make_mesh((2, 4))
+    nlat, nlon = len(c["lat"]), len(c["lon"])
+
+    results = []
+    for overlap in (True, False):
+        sp = ShardedPipeline(pipe, mesh, overlap=overlap)
+        assert sp.overlap is overlap
+        state = _zero_state(nlat, nlon)
+        results.append(sp.run(state, c["theta_t"][:nsteps],
+                              c["u_t"][:nsteps], c["v_t"][:nsteps],
+                              c["lsm"], c["z"], c["std"], c["p"],
+                              ci_t=c["ci_t"][:nsteps]))
+    (ov_state, ov_out), (ba_state, ba_out) = results
+    for key in ("sb_con", "t0", "windspeed", "winddir"):
+        np.testing.assert_array_equal(np.asarray(ov_out[key]),
+                                      np.asarray(ba_out[key]), err_msg=key)
+    np.testing.assert_array_equal(np.asarray(ov_state.windspeed),
+                                  np.asarray(ba_state.windspeed))
+    np.testing.assert_array_equal(np.asarray(ov_state.thc),
+                                  np.asarray(ba_state.thc))
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
 def test_sharded_pallas_production_path(small_case, mesh_shape):
     """THE production combination on a TPU pod — shard_map + fused Pallas

@@ -53,7 +53,13 @@ GRIDS = {
     "global050": (361, 720),     # 0.5 deg
     "global025": (721, 1440),    # 0.25 deg  (headline config, BASELINE.md #3)
     "global010": (1801, 3600),   # 0.1 deg   (north-star config, BASELINE.md #4)
+    # regional 0.25 deg (BASELINE.md config #2): a maritime-continent-sized
+    # domain, ~40S-40N x 80 deg of longitude
+    "regional025": (320, 320),
 }
+
+#: non-global domains: (lat0, lat1, lon_span_deg)
+GRID_DOMAIN = {"regional025": (40.0, -39.75, 80.0)}
 
 
 def _enable_compile_cache():
@@ -79,7 +85,8 @@ def verify(grid_name: str, nlev: int):
     nlat, nlon = GRIDS[grid_name]
     lsm, z, std, pres, theta, u, v, ci = make_world(nlat, nlon, nlev, 1,
                                                     seed=3)
-    grid = Grid.regular(nlat, nlon, lat0=90.0, lat1=-90.0)
+    lat0, lat1, lon_span = GRID_DOMAIN.get(grid_name, (90.0, -90.0, 360.0))
+    grid = Grid.regular(nlat, nlon, lat0=lat0, lat1=lat1, lon1=lon_span)
     outs = {}
     for name, kw in (("pallas", dict(use_pallas=True,
                                      distance_impl="hybrid")),
@@ -133,7 +140,8 @@ def run(grid_name: str, steps: int, nlev: int, use_pallas: bool,
 
     nlat, nlon = GRIDS[grid_name]
     lsm, z, std, pres, theta, u, v, ci = make_world(nlat, nlon, nlev, steps)
-    grid = Grid.regular(nlat, nlon, lat0=90.0, lat1=-90.0)
+    lat0, lat1, lon_span = GRID_DOMAIN.get(grid_name, (90.0, -90.0, 360.0))
+    grid = Grid.regular(nlat, nlon, lat0=lat0, lat1=lat1, lon1=lon_span)
     pipe = TriggerPipeline(grid, use_pallas=use_pallas)
 
     xs = (jnp.asarray(theta), jnp.asarray(u), jnp.asarray(v), jnp.asarray(ci))

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--grid", default="global025", choices=sorted(GRIDS))
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--nlev", type=int, default=4)
+    ap.add_argument("--tiles", nargs="*", default=None,
+                    help="explicit tile list, e.g. 64x128 128x256")
     args = ap.parse_args()
 
     from seabreeze_param_tpu.utils.compile_cache import enable
@@ -101,6 +103,8 @@ def main():
     tiles = [(128, 256), (64, 256), (64, 128), (32, 128), (32, 256),
              (16, 128), (16, 256), (64, 512), (128, 128), (256, 256),
              (8, 128), (32, 512)]
+    if args.tiles:
+        tiles = [tuple(map(int, t.split("x"))) for t in args.tiles]
     for tile in tiles:
         try:
             t = timed(tile)

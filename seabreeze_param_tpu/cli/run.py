@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -25,7 +26,7 @@ from ..io import Config, Meta, read_nc
 
 
 def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
-         max_retries=2, watchdog_s=None, **diag_kwargs):
+         max_retries=2, watchdog_s=None, metrics_file=None, **diag_kwargs):
     """Run the batch pipeline; returns the final (tt, thc, ws, wd) state.
 
     With ``ckpt_dir`` the per-file loop runs under the elastic-recovery
@@ -37,10 +38,15 @@ def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
     from ..core.state import TriggerState
     from ..io.native_nc import PrefetchPool
 
+    from ..utils.metrics import StepMetrics
+
     cfg = Config(config)
     meta = Meta(cfg)
     shape = (len(meta.lat), len(meta.lon))
     written = []
+    metrics_stream = open(metrics_file, "a") if metrics_file else None
+    metrics = StepMetrics(grid_points=shape[0] * shape[1],
+                          stream=metrics_stream)
     invars = (cfg.vv, cfg.vu, cfg.vtheta, cfg.vci)
     pool = PrefetchPool(2)   # no-op when no native toolchain
     date_index = {t: i for i, t in enumerate(meta.dates)}
@@ -65,11 +71,17 @@ def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
                           meta.input_path(cfg.vci, tstring),
                           vv=cfg.vv, vu=cfg.vu, vtheta=cfg.vtheta,
                           vci=cfg.vci, vpres=cfg.vpres, vtime=cfg.vtime)
+        t_start = time.perf_counter()
         tt, sb_con, thc, windspeed, winddir, outs = api.diag(
             int(state.tt), meta.landfrac, meta.z, meta.std, meta.lon,
             meta.lat, nc_data.pres, meta=nc_data,
             ws=np.asarray(state.windspeed), wd=np.asarray(state.winddir),
             thc=np.asarray(state.thc), full_output=True, **diag_kwargs)
+        nsteps = int(np.asarray(sb_con).shape[0])
+        metrics.record(time.perf_counter() - t_start, nsteps)
+        if metrics_stream:
+            metrics.add(file=os.path.basename(f_sb))
+            metrics.emit()
         meta.create_nc(np.asarray(sb_con), f_sb, "sb_con", nc_data.time)
         # per-step sea-level temperature, under the reference's production
         # name "thc" (the out[1] quirk — plot.py:97-99 reads it from the sb
@@ -100,6 +112,8 @@ def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
         for tstring in meta.dates:
             state = process(state, tstring)
     pool.close()
+    if metrics_stream:
+        metrics_stream.close()
     return (int(state.tt), np.asarray(state.thc),
             np.asarray(state.windspeed), np.asarray(state.winddir), written)
 
@@ -119,6 +133,8 @@ Options:
     max_retries      : transient-failure retries per file (default: 2)
     watchdog_s       : liveness deadline in seconds — abort + restart a file
                        that makes no progress for this long (default: off)
+    metrics_file     : append one JSON metrics line per processed file
+                       (per-step wall time, grid-points/s; default: off)
     any diag kwarg   : science-parameter override, e.g. --maxdist=250
 """
 

@@ -219,11 +219,19 @@ def test_read_nc(synthetic_run):
 def test_batch_driver_end_to_end(synthetic_run):
     """Full test_run.py-equivalent loop: writes one sb file per day with CF
     metadata; state threads across files."""
+    import json
     from seabreeze_param_tpu.cli.run import main
     s = synthetic_run
-    tt, thc, ws, wd, written = main(str(s["conf"]), progress=None)
+    mfile = os.path.join(os.path.dirname(str(s["conf"])), "metrics.jsonl")
+    tt, thc, ws, wd, written = main(str(s["conf"]), progress=None,
+                                    metrics_file=mfile)
     assert tt == 1 + 2 * 4  # two daily files, four steps each
     assert len(written) == 2
+    with open(mfile) as f:
+        lines = [json.loads(ln) for ln in f.read().splitlines()]
+    assert len(lines) == 2                      # one metrics line per file
+    assert all(ln["points_per_s"] > 0 for ln in lines)
+    assert lines[-1]["steps"] == 8 and "file" in lines[-1]
     for path in written:
         assert os.path.isfile(path)
         with Dataset(path) as f:

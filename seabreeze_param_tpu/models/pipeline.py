@@ -47,6 +47,10 @@ class TriggerPipeline:
     # Distance-transform implementation ('auto' | 'xla' | 'hybrid' |
     # 'pallas'); 'auto' resolves per backend (ops.distance.resolve_impl).
     distance_impl: str = "auto"
+    # Pass-1 lon form: 'taps' (exact reference parity) or 'nearest' (the
+    # O(log k) uniform-grid form, allclose parity — see
+    # ops.distance.pass1_extrema_nearest).
+    distance_lon_form: str = "taps"
     # Run every Pallas kernel in interpret mode (CPU testing of the TPU
     # production path — the fake-backend pattern of SURVEY §4b).
     pallas_interpret: bool = False
@@ -73,7 +77,8 @@ class TriggerPipeline:
         return coast_distance(coast, lsm, self.grid, self.params.maxdist,
                               use_pallas=self.use_pallas,
                               impl=self.distance_impl,
-                              interpret=self.pallas_interpret)
+                              interpret=self.pallas_interpret,
+                              lon_form=self.distance_lon_form)
 
     def step(self, state: TriggerState, theta, u, v, lsm, z, std, pres,
              ci=None, smod=None):

@@ -52,7 +52,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.grid import Grid, EARTH_RADIUS_KM
+from ..core.grid import Grid, EARTH_RADIUS_KM, DEG2RAD_F32
 
 BIG_PARAM = np.float32(1.0e30)
 _SENTINEL = np.float32(12000.0)
@@ -120,6 +120,127 @@ def pass1_extrema(cpad, sdlam2, k: int, *, unroll: bool | None = None):
     return lax.fori_loop(0, nwin, body_j, m0)
 
 
+def pass1_extrema_nearest(cpad, k: int, half_dlam: float):
+    """Fast pass 1 for UNIFORM-lon grids: O(log k) instead of O(2k+1).
+
+    On a uniform grid ``sdlam2[x, dj] = sin^2(|dj-k| * dlam / 2)`` is
+    monotone in the offset magnitude (k*dlam << 180 deg always — k is
+    maxdist in ~cells), so the masked window *min* of sdlam2 is attained
+    at the NEAREST coast cell and the masked *max* at the FARTHEST one
+    within +-k.  Both are classic log-doubling problems:
+
+      * nearest: bidirectional min-plus doubling on the cell-distance
+        field ``d = 0 where coast else BIG`` — ``d = min(d, d[x-s]+s,
+        d[x+s]+s)`` for s = 1, 2, 4, ... is exact for every distance
+        within the accumulated reach (binary decomposition of the offset
+        keeps all intermediate hops inside the span), and the final
+        ``d <= k`` test discards beyond-window finds exactly;
+      * farthest: per-side windowed extreme POSITION via sparse-table
+        doubling (max is idempotent, so two overlapping 2^m windows cover
+        the k+1 window exactly).
+
+    Values are then ``sin^2(d * dlam/2)`` computed directly — equal to
+    the table entries up to float32 rounding of the branched-longitude
+    differences (allclose, not bit-exact; the tapped
+    :func:`pass1_extrema` remains the exact-parity default).  Returns
+    (Mmin, Mmax) with the same contract (BIG / -BIG on empty windows).
+
+    MEASURED RESULT (TPU v5e, r4): although this form is ~3x fewer vector
+    ops per cell (~60 vs ~186 at k=15), it LOSES on TPU — 2.15 ms vs
+    1.44 ms at 0.1 deg, 0.20 vs 0.11 at 0.25 deg — because the doubling
+    rounds are data-dependent and lower to ~10 sequential full-array HBM
+    sweeps, while XLA fuses all 2(2k+1) taps into ONE sweep (the taps
+    re-read the same cache-resident lines).  Asymptotics lost to fusion;
+    kept as the documented alternative (and as the right shape for
+    backends where the tap unroll blows compile time), with ``taps`` the
+    default everywhere.
+    """
+    h2k = cpad.shape[0]
+    w2k = cpad.shape[1]
+    w = w2k - 2 * k
+    coast = cpad > 0.0
+    big = jnp.float32(BIG_PARAM)
+
+    # --- nearest: bidirectional min-plus doubling --------------------
+    d = jnp.where(coast, jnp.float32(0.0), big)
+    s, reach = 1, 0
+    while reach < k:
+        sf = jnp.float32(s)
+        left = jnp.concatenate(
+            [d[:, s:], jnp.full((h2k, s), big, jnp.float32)], axis=1)
+        right = jnp.concatenate(
+            [jnp.full((h2k, s), big, jnp.float32), d[:, :-s]], axis=1)
+        d = jnp.minimum(d, jnp.minimum(left + sf, right + sf))
+        reach += s
+        s *= 2
+    dnear = d
+
+    # --- farthest: per-side windowed extreme positions ---------------
+    pos = jax.lax.broadcasted_iota(jnp.float32, (h2k, w2k), 1)
+    maxpos_r = jnp.where(coast, pos, -big)   # max coast pos in [x, x+2^i)
+    minpos_l = jnp.where(coast, pos, big)    # min coast pos in (x-2^i, x]
+    span = 1
+    while span * 2 <= k + 1:
+        mr = jnp.concatenate(
+            [maxpos_r[:, span:], jnp.full((h2k, span), -big, jnp.float32)],
+            axis=1)
+        maxpos_r = jnp.maximum(maxpos_r, mr)
+        ml = jnp.concatenate(
+            [jnp.full((h2k, span), big, jnp.float32), minpos_l[:, :-span]],
+            axis=1)
+        minpos_l = jnp.minimum(minpos_l, ml)
+        span *= 2
+    # overlap to exactly k+1-wide windows (idempotent extremes)
+    off = k + 1 - span
+    if off:
+        mr = jnp.concatenate(
+            [maxpos_r[:, off:], jnp.full((h2k, off), -big, jnp.float32)],
+            axis=1)
+        maxpos_r = jnp.maximum(maxpos_r, mr)
+        ml = jnp.concatenate(
+            [jnp.full((h2k, off), big, jnp.float32), minpos_l[:, :-off]],
+            axis=1)
+        minpos_l = jnp.minimum(minpos_l, ml)
+    dfar = jnp.maximum(maxpos_r - pos, pos - minpos_l)
+
+    # --- center columns, values --------------------------------------
+    ctr = slice(k, k + w)
+    dnear_c = dnear[:, ctr]
+    dfar_c = jnp.clip(dfar[:, ctr], 0.0, jnp.float32(k))
+    found = dnear_c <= jnp.float32(k)
+    half = jnp.float32(half_dlam)
+    smin = jnp.sin(dnear_c * half)
+    smax = jnp.sin(dfar_c * half)
+    Mmin = jnp.where(found, smin * smin, big)
+    Mmax = jnp.where(found, smax * smax, -big)
+    return Mmin, Mmax
+
+
+def uniform_half_dlam(grid: Grid):
+    """f32 half-spacing of a uniform GLOBAL lon axis, else None (static,
+    host-side).
+
+    The nearest/farthest pass-1 form needs ``sdlam2[x, dj]`` to depend
+    only on |dj|: true for a uniform axis spanning the full circle (the
+    periodic wrap shifts the angle by exactly 360 deg, invisible to
+    sin^2), but FALSE on regional grids, whose index-periodic wrap jumps
+    by the domain width — there the tapped table form is the only correct
+    one (it is also what the reference's quirky seam produces)."""
+    if grid.nlon < 2:
+        return None
+    lon = grid.lon.astype(np.float64)
+    diffs = np.diff(lon)
+    step = diffs.mean()
+    # f32 coordinate vectors jitter by ~eps(360) even for nominally
+    # uniform axes; accept spacing uniform to ~0.1% (the induced distance
+    # error is ~0.1% of a cell, far inside the science tolerances).
+    if not np.allclose(diffs, step, rtol=0, atol=1e-3 * abs(step)):
+        return None
+    if not np.isclose(step * grid.nlon, 360.0, rtol=1e-4):
+        return None      # regional domain: fake seam breaks |dj|-form
+    return np.float32(np.float32(step) * DEG2RAD_F32 / np.float32(2.0))
+
+
 def pass2_min(Mmin, Mmax, sdphi2, po, k: int, *,
               unroll: bool | None = None):
     """Pass 2 of the separable min: per target row, the min over the lat
@@ -160,7 +281,8 @@ def pass2_min(Mmin, Mmax, sdphi2, po, k: int, *,
 def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int,
                                     *, unroll: bool | None = None,
                                     impl: str = "xla",
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    half_dlam=None):
     """Core gather-min over a k-padded coast block — separable two-pass form.
 
     ``cpad`` is (h+2k, w+2k): rows beyond the *global* lat edge zero-filled
@@ -202,7 +324,13 @@ def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int,
     # them inside the pass-2 fusion (measured 5.7 ms vs 3.2 ms for the
     # passes run separately at 0.1 deg, k=15 — and the hybrid's pass 2
     # itself drops 2.8 ms -> ~0.3 ms).
-    Mmin, Mmax = pass1_extrema(cpad, sdlam2, k, unroll=unroll)
+    # ``half_dlam`` (uniform-lon grids only, see uniform_half_dlam) opts
+    # pass 1 into the O(log k) nearest/farthest form — allclose to the
+    # tapped form, not bit-exact; None = exact taps.
+    if half_dlam is not None:
+        Mmin, Mmax = pass1_extrema_nearest(cpad, k, half_dlam)
+    else:
+        Mmin, Mmax = pass1_extrema(cpad, sdlam2, k, unroll=unroll)
     if impl == "hybrid":
         from .pallas.distance_kernel import pass2_min_pallas
         return pass2_min_pallas(Mmin, Mmax, sdphi2, po, k,
@@ -259,7 +387,8 @@ def resolve_impl(impl: str) -> str:
 
 def coast_distance(coast, lsm, grid: Grid, maxdist: float = 180.0,
                    *, k: int | None = None, use_pallas: bool = False,
-                   impl: str = "auto", interpret: bool = False):
+                   impl: str = "auto", interpret: bool = False,
+                   lon_form: str = "taps"):
     """Full ``get_dist`` equivalent: signed km distance to the nearest
     coastline cell, positive over land, negative over sea, 12000 km sentinel
     beyond 2*maxdist.
@@ -283,6 +412,13 @@ def coast_distance(coast, lsm, grid: Grid, maxdist: float = 180.0,
     tables = distance_tables(grid, k_eff)
     del use_pallas
     impl = resolve_impl(impl)
+    half_dlam = None
+    if lon_form == "nearest":
+        half_dlam = uniform_half_dlam(grid)
+        if half_dlam is None:
+            raise ValueError("lon_form='nearest' needs a uniform lon axis")
+    elif lon_form != "taps":
+        raise ValueError(lon_form)
     if impl == "pallas":
         from .pallas.distance_kernel import min_haversine_param_pallas
         amin = min_haversine_param_pallas(coast, *tables, k_eff,
@@ -290,5 +426,5 @@ def coast_distance(coast, lsm, grid: Grid, maxdist: float = 180.0,
     else:
         amin = min_haversine_param_from_padded(
             pad_coast(coast, k_eff), *tables, k_eff, impl=impl,
-            interpret=interpret)
+            interpret=interpret, half_dlam=half_dlam)
     return finalize_distance(amin, lsm, maxdist)

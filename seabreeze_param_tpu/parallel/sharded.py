@@ -129,6 +129,13 @@ class ShardedPipeline:
         self.k = self.pipeline.k
         self.tables = distance_tables(self.grid_padded, self.k)
         self.nn_max = self.pipeline.nn_max
+        self.half_dlam = None
+        if self.pipeline.distance_lon_form == "nearest":
+            from ..ops.distance import uniform_half_dlam
+            self.half_dlam = uniform_half_dlam(grid)
+            if self.half_dlam is None:
+                raise ValueError(
+                    "distance_lon_form='nearest' needs a uniform lon axis")
         # Halo-width guard: the exchanges slice strips out of the LOCAL
         # shard, so every exchanged width must fit inside one shard (a mesh
         # too large for the grid would otherwise exchange garbage-width
@@ -185,7 +192,7 @@ class ShardedPipeline:
             coast_ext = sobel_edges_from_padded(mask_pad)
             amin = min_haversine_param_from_padded(
                 coast_ext, sdphi2_e, po_e, sdlam2_e, k, impl=impl,
-                interpret=pipe.pallas_interpret)
+                interpret=pipe.pallas_interpret, half_dlam=self.half_dlam)
             cd = finalize_distance(amin, lsm_ext, params.maxdist)
             # beyond-globe apron rows: the reference's lat clamp == the
             # globe-edge row's values
@@ -263,7 +270,7 @@ class ShardedPipeline:
             amin = min_haversine_param_from_padded(
                 cpad, sdphi2, po, sdlam2, self.k,
                 impl=resolve_impl(pipe.distance_impl),
-                interpret=pipe.pallas_interpret)
+                interpret=pipe.pallas_interpret, half_dlam=self.half_dlam)
             return finalize_distance(amin, lsm, params.maxdist)
 
         # Static coastline (no sea ice): one distance transform outside the

@@ -136,3 +136,68 @@ def test_ring_thc_matches_golden(case, request):
                                        atol=2e-3)
             checked += 1
     assert checked > 50  # the fixture must actually exercise coastal cells
+
+
+@pytest.mark.parametrize("case", ["global_case"])
+def test_pass1_nearest_matches_taps(case, request):
+    """The O(log k) uniform-grid pass-1 (nearest/farthest coast by
+    log-doubling) vs the exact tapped form: identical empty-window
+    structure, values equal up to float32 rounding of the branched-lon
+    table (the farthest/nearest POSITIONS are exact)."""
+    from seabreeze_param_tpu.core.grid import Grid
+    from seabreeze_param_tpu.ops.coastline import get_edges
+    from seabreeze_param_tpu.ops.distance import (
+        BIG_PARAM, distance_tables, effective_radius, pad_coast,
+        pass1_extrema, pass1_extrema_nearest, uniform_half_dlam)
+
+    c = request.getfixturevalue(case)
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    k = effective_radius(grid, 180.0)
+    tables = distance_tables(grid, k)
+    half = uniform_half_dlam(grid)
+    assert half is not None
+    # regional (non-full-circle) axes must refuse the fast form: their
+    # index-periodic seam jumps by the domain width, not dj*dlam
+    from seabreeze_param_tpu.core.grid import Grid as _G
+    regional = _G(lon=np.linspace(100.0, 132.0, 64, endpoint=False),
+                  lat=c["lat"])
+    assert uniform_half_dlam(regional) is None
+    coast = get_edges(c["lsm"], c["ci_t"][0])
+    cpad = pad_coast(jnp.asarray(coast), k)
+
+    ref_min, ref_max = map(np.asarray, pass1_extrema(cpad, tables[2], k))
+    got_min, got_max = map(np.asarray,
+                           pass1_extrema_nearest(cpad, k, half))
+    empty = ref_min > BIG_PARAM / 2
+    np.testing.assert_array_equal(got_min > BIG_PARAM / 2, empty)
+    np.testing.assert_array_equal(got_max < -BIG_PARAM / 2, empty)
+    sel = ~empty
+    np.testing.assert_allclose(got_min[sel], ref_min[sel], rtol=1e-4,
+                               atol=1e-9)
+    np.testing.assert_allclose(got_max[sel], ref_max[sel], rtol=1e-4,
+                               atol=1e-9)
+
+
+@pytest.mark.parametrize("case", ["global_case"])
+def test_coast_distance_nearest_form(case, request):
+    """End-to-end coast_distance with lon_form='nearest' vs the exact
+    form: identical sentinel structure, kilometers allclose."""
+    from seabreeze_param_tpu.core.grid import Grid
+    from seabreeze_param_tpu.ops.coastline import get_edges
+    from seabreeze_param_tpu.ops.distance import coast_distance
+
+    c = request.getfixturevalue(case)
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    coast = get_edges(c["lsm"], c["ci_t"][0])
+    ref = np.asarray(coast_distance(coast, c["lsm"], grid, 180.0,
+                                    lon_form="taps"))
+    got = np.asarray(coast_distance(coast, c["lsm"], grid, 180.0,
+                                    lon_form="nearest"))
+    sent = ref == np.float32(12000.0)
+    # borderline cells at the 2*maxdist cap may flip with ulp-level
+    # distance changes; require identical structure away from a whisker
+    near_cap = np.abs(np.abs(ref) - 360.0) < 0.01
+    np.testing.assert_array_equal((got == np.float32(12000.0))[~near_cap],
+                                  sent[~near_cap])
+    sel = ~sent & ~near_cap & (got != np.float32(12000.0))
+    np.testing.assert_allclose(got[sel], ref[sel], rtol=1e-4, atol=1e-3)

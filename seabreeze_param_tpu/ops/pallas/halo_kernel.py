@@ -211,9 +211,16 @@ def halo_exchange_dma(local, hy: int, hx: int, *, lat_fill: str = "clamp",
                       axis_x: str = "x", interpret=False):
     """Drop-in equivalent of ``parallel.halo.halo_pad`` built on the remote
     DMA kernel: exchange + global-lat-edge fill + quirky-lon seam patches.
+    Accepts an optional leading channel axis like ``halo_pad`` does.
     """
     from ...parallel.halo import quirky_seam_patch
 
+    if local.ndim == 3:
+        return jnp.stack([
+            halo_exchange_dma(local[c], hy, hx, lat_fill=lat_fill,
+                              exact_lon=exact_lon, axis_y=axis_y,
+                              axis_x=axis_x, interpret=interpret)
+            for c in range(local.shape[0])])
     h, w = local.shape
     out = halo_strips_dma(local, hy, hx, axis_y=axis_y, axis_x=axis_x,
                           interpret=interpret)

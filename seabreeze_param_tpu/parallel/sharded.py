@@ -112,6 +112,10 @@ class ShardedPipeline:
     pipeline: TriggerPipeline
     mesh: jax.sharding.Mesh
     overlap: object = "auto"
+    # 'ppermute' (default: XLA collective-permutes, overlap-friendly) or
+    # 'dma' (explicit Pallas make_async_remote_copy neighbor DMA,
+    # ops/pallas/halo_kernel.py) — basic step structure only.
+    halo_backend: str = "ppermute"
 
     def __post_init__(self):
         grid = self.pipeline.grid
@@ -249,6 +253,18 @@ class ShardedPipeline:
         pipe = self.pipeline
         params = pipe.params
         exact = params.exact_lon_indexing
+        if self.halo_backend == "dma":
+            from ..ops.pallas.halo_kernel import halo_exchange_dma
+            interp = False
+            if pipe.pallas_interpret:
+                from jax.experimental.pallas import tpu as pltpu
+                interp = pltpu.InterpretParams()
+            exchange = functools.partial(halo_exchange_dma,
+                                         interpret=interp)
+        elif self.halo_backend == "ppermute":
+            exchange = halo_pad
+        else:
+            raise ValueError(self.halo_backend)
         h, w = lsm.shape
         row_offset = lax.axis_index(AXIS_Y) * h
         col_offset = lax.axis_index(AXIS_X) * w
@@ -258,14 +274,14 @@ class ShardedPipeline:
         sdlam2 = lax.dynamic_slice_in_dim(sdlam2_g, col_offset, w, 0)
 
         def ring_pad(q, nn):
-            return halo_pad(q, nn, nn, lat_fill="clamp", exact_lon=exact)
+            return exchange(q, nn, nn, lat_fill="clamp", exact_lon=exact)
 
         def distance(ci):
             mask = make_mask(lsm, ci)
-            mpad = halo_pad(mask, 1, 1, lat_fill="clamp", exact_lon=exact)
+            mpad = exchange(mask, 1, 1, lat_fill="clamp", exact_lon=exact)
             coast = sobel_edges_from_padded(mpad)
             # get_dist uses the clean periodic lon map (sobel.f90:163-164)
-            cpad = halo_pad(coast, self.k, self.k, lat_fill="zero",
+            cpad = exchange(coast, self.k, self.k, lat_fill="zero",
                             exact_lon=False)
             amin = min_haversine_param_from_padded(
                 cpad, sdphi2, po, sdlam2, self.k,

@@ -164,3 +164,58 @@ def test_sharded_static_coastline_matches_single_device(small_case):
         c["v_t"][:nsteps], c["lsm"], c["z"], c["std"], c["p"], ci_t=None)
     _assert_outputs_close(got_out, ref_out)
     _assert_state_close(got_state, ref_state)
+
+
+def test_sharded_dma_halo_backend(small_case):
+    """The remote-DMA halo backend (Pallas make_async_remote_copy, basic
+    step structure) must reproduce the single-device pipeline on the CPU
+    mesh under interpret mode."""
+    c = small_case
+    nsteps = 2
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    ref_state, ref_out = _run_single(TriggerPipeline(grid), c, nsteps)
+    pipe = TriggerPipeline(grid, pallas_interpret=True)
+    sp = ShardedPipeline(pipe, make_mesh((2, 4)), overlap=False,
+                         halo_backend="dma")
+    nlat, nlon = len(c["lat"]), len(c["lon"])
+    got_state, got_out = sp.run(_zero_state(nlat, nlon),
+                                c["theta_t"][:nsteps], c["u_t"][:nsteps],
+                                c["v_t"][:nsteps], c["lsm"], c["z"],
+                                c["std"], c["p"], ci_t=c["ci_t"][:nsteps])
+    _assert_outputs_close(got_out, ref_out)
+    _assert_state_close(got_state, ref_state)
+
+
+def test_sharded_pallas_wind_refresh_cadence(small_case):
+    """Production combination at the 6-hourly wind-refresh step (tt=15):
+    the sharded fused-kernel path must agree with the single-device XLA
+    path on the refresh branch too."""
+    import jax.numpy as jnp
+    c = small_case
+    nsteps = 2
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    nlat, nlon = len(c["lat"]), len(c["lon"])
+    rng = np.random.default_rng(3)
+    thc0 = (290 + rng.standard_normal((nlat, nlon))).astype(np.float32)
+    ws0 = (5 + rng.random((nlat, nlon))).astype(np.float32)
+    wd0 = (360 * rng.random((nlat, nlon)) - 180).astype(np.float32)
+
+    def state():   # pipe.run donates its state argument — build fresh
+        return TriggerState(tt=jnp.int32(15), thc=jnp.asarray(thc0),
+                            windspeed=jnp.asarray(ws0),
+                            winddir=jnp.asarray(wd0))
+
+    pipe_ref = TriggerPipeline(grid)
+    ref_state, ref_out = pipe_ref.run(state(), c["theta_t"][:nsteps],
+                                      c["u_t"][:nsteps], c["v_t"][:nsteps],
+                                      c["lsm"], c["z"], c["std"], c["p"],
+                                      ci_t=c["ci_t"][:nsteps])
+    pipe = TriggerPipeline(grid, use_pallas=True, distance_impl="hybrid",
+                           pallas_interpret=True)
+    sp = ShardedPipeline(pipe, make_mesh((2, 4)))
+    got_state, got_out = sp.run(state(), c["theta_t"][:nsteps],
+                                c["u_t"][:nsteps], c["v_t"][:nsteps],
+                                c["lsm"], c["z"], c["std"], c["p"],
+                                ci_t=c["ci_t"][:nsteps])
+    _assert_outputs_close(got_out, ref_out)
+    _assert_state_close(got_state, ref_state)

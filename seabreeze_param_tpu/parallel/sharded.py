@@ -354,7 +354,6 @@ class ShardedPipeline:
     def run(self, state: TriggerState, theta_t, u_t, v_t, lsm, z, std, pres,
             ci_t=None):
         """Host-friendly entry: pads lat, shards, runs, slices back."""
-        T = np.asarray(theta_t).shape[0]
         nlat, nlon = self.nlat_pad, self.pipeline.grid.nlon
         padf = functools.partial(_pad_lat_host, nlat_pad=nlat)
         has_ci = ci_t is not None

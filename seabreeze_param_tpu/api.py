@@ -59,6 +59,11 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
     meta = kwargs.pop("meta", None)
     use_pallas = kwargs.pop("use_pallas", False)
     full_output = kwargs.pop("full_output", False)
+    # Device-mesh selection (extension over the reference API): None =
+    # single device; 'auto' = 2-D mesh over all local devices; a (py, px)
+    # tuple or a jax.sharding.Mesh for explicit layouts.  Routes the same
+    # pipeline through parallel.sharded.ShardedPipeline.
+    mesh = kwargs.pop("mesh", None)
     if meta is None:
         u, v, t, ci = args
     else:
@@ -121,7 +126,21 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
         grid=grid, params=params, use_pallas=use_pallas,
         ring_nn=max(pipe.nn_max, req + params.ring_search_margin))
 
-    final, outs = pipe.run(state, t, u, v, lsm, z, std, pres, ci_t=ci)
+    if mesh is not None:
+        from .parallel.mesh import make_mesh
+        from .parallel.sharded import ShardedPipeline
+        if isinstance(mesh, jax.sharding.Mesh):
+            m = mesh
+        elif mesh == "auto":
+            m = make_mesh(None)
+        elif isinstance(mesh, str):
+            m = make_mesh(tuple(int(s) for s in mesh.split("x")))  # "2x4"
+        else:
+            m = make_mesh(tuple(int(s) for s in mesh))
+        sp = ShardedPipeline(pipe, m)
+        final, outs = sp.run(state, t, u, v, lsm, z, std, pres, ci_t=ci)
+    else:
+        final, outs = pipe.run(state, t, u, v, lsm, z, std, pres, ci_t=ci)
     nsteps = v.shape[0]
     ret = (tt + nsteps, outs["sb_con"], np.asarray(final.thc),
            np.asarray(final.windspeed), np.asarray(final.winddir))

@@ -135,6 +135,9 @@ Options:
                        that makes no progress for this long (default: off)
     metrics_file     : append one JSON metrics line per processed file
                        (per-step wall time, grid-points/s; default: off)
+    mesh             : device mesh for sharded execution — "auto" (all
+                       local devices) or "PYxPX", e.g. --mesh=2x4
+                       (default: single device)
     any diag kwarg   : science-parameter override, e.g. --maxdist=250
 """
 

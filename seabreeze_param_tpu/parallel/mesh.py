@@ -33,7 +33,9 @@ def make_mesh(shape: tuple[int, int] | None = None,
         while n % py:
             py -= 1
         shape = (py, n // py)
-    if shape[0] * shape[1] != n:
-        raise ValueError(f"mesh shape {shape} != {n} devices")
-    dev_array = np.asarray(devices).reshape(shape)
+    want = shape[0] * shape[1]
+    if want > n:
+        raise ValueError(f"mesh shape {shape} needs {want} devices, "
+                         f"have {n}")
+    dev_array = np.asarray(devices[:want]).reshape(shape)
     return jax.sharding.Mesh(dev_array, (AXIS_Y, AXIS_X))

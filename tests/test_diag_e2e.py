@@ -86,3 +86,26 @@ def test_diag_warns_without_state(small_case):
     with pytest.warns(UserWarning, match="previous timestep"):
         diag(5, c["lsm"], c["z"], c["std"], c["lon"], c["lat"], c["p"],
              c["u_t"][0], c["v_t"][0], c["theta_t"][0], c["ci_t"][0])
+
+
+def test_diag_mesh_kwarg_matches_single(small_case):
+    """The public API's device-mesh extension: diag(mesh=(2, 4)) must
+    reproduce the single-device call (state and outputs), golden-gated by
+    transitivity with test_diag_matches_golden_sequence."""
+    c = small_case
+    nsteps = 2
+    args = (1, c["lsm"], c["z"], c["std"], c["lon"], c["lat"], c["p"],
+            c["u_t"][:nsteps], c["v_t"][:nsteps], c["theta_t"][:nsteps],
+            c["ci_t"][:nsteps])
+    tt1, sb1, thc1, ws1, wd1 = diag(*args)
+    tt2, sb2, thc2, ws2, wd2 = diag(*args, mesh=(2, 4))
+    assert tt1 == tt2
+    sb1, sb2 = np.asarray(sb1), np.asarray(sb2)
+    np.testing.assert_array_equal(sb1 == MISSING, sb2 == MISSING)
+    sel = sb1 != MISSING
+    mism = ~np.isclose(sb2[sel], sb1[sel], rtol=1e-5, atol=1e-4)
+    assert mism.mean() < 1e-3
+    np.testing.assert_allclose(np.asarray(thc2), np.asarray(thc1),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ws2), np.asarray(ws1),
+                               rtol=1e-5, atol=1e-4)

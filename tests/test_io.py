@@ -128,13 +128,10 @@ def _write_input(path, varname, data, pres, times, units):
         v[:] = data
 
 
-@pytest.fixture(scope="module")
-def synthetic_run(tmp_path_factory):
+def _build_synthetic_run(root, nlat=24, nlon=32, nlev=3, nt=4):
     """A complete synthetic data tree + run.conf (daily layout, 2 days)."""
-    root = tmp_path_factory.mktemp("synthrun")
     datadir = root / "data" / "1987"
     datadir.mkdir(parents=True)
-    nlat, nlon, nlev, nt = 24, 32, 3, 4
     rng = np.random.default_rng(11)
     lon = np.linspace(0, 360, nlon, endpoint=False).astype(F)
     lat = np.linspace(40, -40, nlat).astype(F)
@@ -188,6 +185,11 @@ end = 1987-01-03_00:00
 """)
     return dict(root=root, conf=conf, days=days, lsm=lsm, z=z, std=std,
                 lon=lon, lat=lat, pres=pres)
+
+
+@pytest.fixture(scope="module")
+def synthetic_run(tmp_path_factory):
+    return _build_synthetic_run(tmp_path_factory.mktemp("synthrun"))
 
 
 def test_meta_static_and_dates(synthetic_run):
@@ -282,3 +284,25 @@ def test_composites_end_to_end(synthetic_run, tmp_path):
     assert len(maps) == 4
     for p in maps:
         assert os.path.getsize(p) > 1000
+
+
+def test_batch_driver_sharded_mesh(tmp_path_factory):
+    """--mesh routes the driver through the sharded pipeline; outputs must
+    match the single-device run.  Uses a finer grid than the module fixture
+    (the coarse 24x32 world needs ring radius ~15 — wider than any shard)."""
+    from seabreeze_param_tpu.cli.run import main
+    s = _build_synthetic_run(tmp_path_factory.mktemp("synthshard"),
+                             nlat=160, nlon=288, nt=2)
+    tt1, thc1, ws1, wd1, written1 = main(str(s["conf"]), progress=None)
+    tt2, thc2, ws2, wd2, written2 = main(str(s["conf"]), progress=None,
+                                         mesh="2x2")
+    assert tt1 == tt2
+    np.testing.assert_allclose(thc2, thc1, rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(ws2, ws1, rtol=1e-5, atol=1e-4)
+    with Dataset(written2[-1]) as f2, Dataset(written1[-1]) as f1:
+        a = np.ma.getdata(f1.variables["sb_con"][:])
+        b = np.ma.getdata(f2.variables["sb_con"][:])
+        miss = a >= 1e19
+        np.testing.assert_array_equal(b >= 1e19, miss)
+        mism = ~np.isclose(b[~miss], a[~miss], rtol=1e-5, atol=1e-4)
+        assert mism.mean() < 1e-3

@@ -74,6 +74,57 @@ def restore_state(directory: str, step: int | None = None):
     return state, payload.get("extra")
 
 
+def save_state_sharded(directory: str, state: TriggerState, *,
+                       max_to_keep: int = 3, wait: bool = True) -> int:
+    """Save a SHARDED state without gathering it to one host.
+
+    The fields stay ``jax.Array``s; orbax writes each process's shards
+    (multi-host-safe on a shared filesystem).  ``tt`` must be replicated
+    (it always is — ``P()`` in the sharded pipeline)."""
+    import orbax.checkpoint as ocp
+    step = int(np.asarray(state.tt))
+    payload = {"state": dict(tt=state.tt, thc=state.thc,
+                             windspeed=state.windspeed,
+                             winddir=state.winddir)}
+    mgr = _manager(directory, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(payload))
+    if wait:
+        mgr.wait_until_finished()
+    mgr.close()
+    return step
+
+
+def restore_state_sharded(directory: str, like: TriggerState,
+                          step: int | None = None):
+    """Restore directly INTO the sharding layout of ``like`` (a
+    TriggerState of jax.Arrays or ShapeDtypeStructs carrying shardings) —
+    each process reads only its shards.  Returns None when no checkpoint
+    exists."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    def absify(x):
+        if hasattr(x, "sharding"):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=x.sharding)
+        return x
+
+    target = {"state": dict(tt=absify(like.tt), thc=absify(like.thc),
+                            windspeed=absify(like.windspeed),
+                            winddir=absify(like.winddir))}
+    mgr = _manager(directory)
+    try:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        payload = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    finally:
+        mgr.close()
+    s = payload["state"]
+    return TriggerState(tt=s["tt"], thc=s["thc"],
+                        windspeed=s["windspeed"], winddir=s["winddir"])
+
+
 def latest_step(directory: str):
     """The resume point, or None when the directory has no checkpoints."""
     import orbax.checkpoint as ocp  # noqa: F401  (validates availability)

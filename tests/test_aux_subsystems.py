@@ -278,3 +278,43 @@ def test_watchdog_detects_stall():
         time.sleep(0.35)
         assert wd.stall_count == 2
     assert len(stalls) == 2 and stalls[0] >= 0.15
+
+
+def test_checkpoint_sharded_roundtrip(tmp_path):
+    """Sharded save/restore: fields stay jax.Arrays with their NamedSharding
+    (no host gather); the restored state carries the target sharding and the
+    original values."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from seabreeze_param_tpu.core.checkpoint import (restore_state_sharded,
+                                                     save_state_sharded)
+    from seabreeze_param_tpu.core.state import TriggerState
+    from seabreeze_param_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2, 4))
+    fld = NamedSharding(mesh, P("y", "x"))
+    repl = NamedSharding(mesh, P())
+    rng = np.random.default_rng(2)
+    arr = lambda: jax.device_put(
+        rng.standard_normal((16, 32)).astype(np.float32), fld)
+    state = TriggerState(tt=jax.device_put(jnp.int32(9), repl), thc=arr(),
+                         windspeed=arr(), winddir=arr())
+    step = save_state_sharded(str(tmp_path), state)
+    assert step == 9
+
+    like = TriggerState(
+        tt=jax.ShapeDtypeStruct((), jnp.int32, sharding=repl),
+        thc=jax.ShapeDtypeStruct((16, 32), jnp.float32, sharding=fld),
+        windspeed=jax.ShapeDtypeStruct((16, 32), jnp.float32, sharding=fld),
+        winddir=jax.ShapeDtypeStruct((16, 32), jnp.float32, sharding=fld))
+    got = restore_state_sharded(str(tmp_path), like)
+    assert got.thc.sharding.is_equivalent_to(fld, 2)
+    assert int(got.tt) == 9
+    np.testing.assert_array_equal(np.asarray(got.thc),
+                                  np.asarray(state.thc))
+    np.testing.assert_array_equal(np.asarray(got.winddir),
+                                  np.asarray(state.winddir))
+    # missing checkpoint -> None
+    assert restore_state_sharded(str(tmp_path / "empty"), like) is None

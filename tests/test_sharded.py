@@ -219,3 +219,23 @@ def test_sharded_pallas_wind_refresh_cadence(small_case):
                                 ci_t=c["ci_t"][:nsteps])
     _assert_outputs_close(got_out, ref_out)
     _assert_state_close(got_state, ref_state)
+
+
+def test_sharded_clean_periodic_mode(small_case):
+    """exact_lon_indexing=False (clean periodicity, no quirky seam
+    patches): the overlapped sharded step must still match the
+    single-device pipeline."""
+    c = small_case
+    nsteps = 2
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    pipe = TriggerPipeline(grid, params=Params(exact_lon_indexing=False))
+    ref_state, ref_out = _run_single(pipe, c, nsteps)
+    sp = ShardedPipeline(pipe, make_mesh((2, 4)))
+    assert sp.overlap
+    nlat, nlon = len(c["lat"]), len(c["lon"])
+    got_state, got_out = sp.run(_zero_state(nlat, nlon),
+                                c["theta_t"][:nsteps], c["u_t"][:nsteps],
+                                c["v_t"][:nsteps], c["lsm"], c["z"],
+                                c["std"], c["p"], ci_t=c["ci_t"][:nsteps])
+    _assert_outputs_close(got_out, ref_out)
+    _assert_state_close(got_state, ref_state)

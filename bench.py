@@ -87,9 +87,13 @@ def verify(grid_name: str, nlev: int):
                                                     seed=3)
     lat0, lat1, lon_span = GRID_DOMAIN.get(grid_name, (90.0, -90.0, 360.0))
     grid = Grid.regular(nlat, nlon, lat0=lat0, lat1=lat1, lon1=lon_span)
+    # off-TPU, the Pallas side runs in interpret mode (the harness can be
+    # sanity-checked on CPU; on TPU the compiled kernels are the point)
+    interpret = jax.default_backend() != "tpu"
     outs = {}
     for name, kw in (("pallas", dict(use_pallas=True,
-                                     distance_impl="hybrid")),
+                                     distance_impl="hybrid",
+                                     pallas_interpret=interpret)),
                      ("xla", dict(use_pallas=False, distance_impl="xla"))):
         pipe = TriggerPipeline(grid, **kw)
         # tt=15 exercises the 6-hourly wind-refresh cadence branch too
@@ -249,6 +253,11 @@ def main():
         line["verified"] = bool(verified)
     print(json.dumps(line))
     print(f"# step time: {step_s*1e3:.2f} ms/step", file=sys.stderr)
+    if verified is False:
+        # the on-device allclose gate failed: report it loudly in the exit
+        # status too, so automation gating on bench cannot record a
+        # miscompiled kernel's throughput as a valid baseline
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -102,18 +102,21 @@ def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
                          thc=np.zeros(shape, np.float32),
                          windspeed=np.zeros(shape, np.float32),
                          winddir=np.zeros(shape, np.float32))
-    if ckpt_dir:
-        from ..utils.resilience import run_resilient
-        state, _ = run_resilient(
-            list(meta.dates), process, state, str(ckpt_dir),
-            save_every=int(save_every), max_retries=int(max_retries),
-            watchdog_deadline_s=(float(watchdog_s) if watchdog_s else None))
-    else:
-        for tstring in meta.dates:
-            state = process(state, tstring)
-    pool.close()
-    if metrics_stream:
-        metrics_stream.close()
+    try:
+        if ckpt_dir:
+            from ..utils.resilience import run_resilient
+            state, _ = run_resilient(
+                list(meta.dates), process, state, str(ckpt_dir),
+                save_every=int(save_every), max_retries=int(max_retries),
+                watchdog_deadline_s=(float(watchdog_s) if watchdog_s
+                                     else None))
+        else:
+            for tstring in meta.dates:
+                state = process(state, tstring)
+    finally:
+        pool.close()
+        if metrics_stream:
+            metrics_stream.close()
     return (int(state.tt), np.asarray(state.thc),
             np.asarray(state.windspeed), np.asarray(state.winddir), written)
 

@@ -32,7 +32,9 @@ def save_state(directory: str, state: TriggerState, *, extra: dict = None,
                max_to_keep: int = 3, wait: bool = True) -> int:
     """Save ``state`` (and optional extra arrays) under its ``tt`` step.
 
-    Returns the step number written.
+    Returns the step number written.  Effectively synchronous even with
+    ``wait=False``: the per-call manager's close() waits for the write
+    (kept for signature stability; see save_state_sharded's note).
     """
     import orbax.checkpoint as ocp
     step = int(np.asarray(state.tt))
@@ -75,12 +77,16 @@ def restore_state(directory: str, step: int | None = None):
 
 
 def save_state_sharded(directory: str, state: TriggerState, *,
-                       max_to_keep: int = 3, wait: bool = True) -> int:
+                       max_to_keep: int = 3) -> int:
     """Save a SHARDED state without gathering it to one host.
 
     The fields stay ``jax.Array``s; orbax writes each process's shards
     (multi-host-safe on a shared filesystem).  ``tt`` must be replicated
-    (it always is — ``P()`` in the sharded pipeline)."""
+    (it always is — ``P()`` in the sharded pipeline).
+
+    Synchronous: returns after the write completes (the per-call manager
+    must be closed, and close() waits — a truly async variant would need a
+    long-lived CheckpointManager owned by the caller)."""
     import orbax.checkpoint as ocp
     step = int(np.asarray(state.tt))
     payload = {"state": dict(tt=state.tt, thc=state.thc,
@@ -88,8 +94,7 @@ def save_state_sharded(directory: str, state: TriggerState, *,
                              winddir=state.winddir)}
     mgr = _manager(directory, max_to_keep)
     mgr.save(step, args=ocp.args.StandardSave(payload))
-    if wait:
-        mgr.wait_until_finished()
+    mgr.wait_until_finished()
     mgr.close()
     return step
 

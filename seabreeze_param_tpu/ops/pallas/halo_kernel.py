@@ -211,7 +211,10 @@ def halo_exchange_dma(local, hy: int, hx: int, *, lat_fill: str = "clamp",
                       axis_x: str = "x", interpret=False):
     """Drop-in equivalent of ``parallel.halo.halo_pad`` built on the remote
     DMA kernel: exchange + global-lat-edge fill + quirky-lon seam patches.
-    Accepts an optional leading channel axis like ``halo_pad`` does.
+    Accepts an optional leading channel axis like ``halo_pad`` does — as
+    one kernel launch (barrier round + 8 DMAs) PER channel; a
+    multi-channel workload that is launch-bound should stack channels into
+    one 2-D block or use the ppermute path instead.
     """
     from ...parallel.halo import quirky_seam_patch
 

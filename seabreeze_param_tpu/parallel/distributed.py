@@ -81,10 +81,13 @@ def make_multihost_mesh(shape: tuple[int, int] | None = None):
         while per % py:
             py -= 1
         shape = (nproc * py, per // py)
-    if shape[0] % nproc and shape[1] % nproc:
+    if shape[0] % nproc:
+        # DistributedRunner's local-feeding contract is row-contiguous
+        # process ownership: the y axis must split evenly over processes
+        # (x-split layouts would interleave processes within a row block).
         raise ValueError(
-            f"mesh shape {shape} cannot align {nproc} processes "
-            f"contiguously on either axis")
+            f"mesh shape {shape} cannot split y={shape[0]} contiguously "
+            f"over {nproc} processes")
     return make_mesh(shape, devices=devices)
 
 
@@ -107,9 +110,10 @@ class DistributedRunner:
         self.nlat_pad = self.sp.nlat_pad
         self.nlon = self.sp.pipeline.grid.nlon
         # global row range owned by this process (contiguous by construction)
-        spans = sorted({(idx[0].start, idx[0].stop) for idx in
-                        self.fld.addressable_devices_indices_map(
-                            (self.nlat_pad, self.nlon)).values()})
+        idx_map = self.fld.addressable_devices_indices_map(
+            (self.nlat_pad, self.nlon))
+        spans = sorted({(idx[0].start, idx[0].stop)
+                        for idx in idx_map.values()})
         self.row_lo = spans[0][0]
         self.row_hi = spans[-1][1]
         for (_, e0), (s1, _) in zip(spans, spans[1:]):
@@ -117,6 +121,22 @@ class DistributedRunner:
                 raise ValueError(
                     "process row ownership is not contiguous; build the "
                     "mesh with make_multihost_mesh")
+        # Full-width ownership: for every owned row span this process must
+        # hold ALL longitude columns (an x-split-across-processes layout
+        # would otherwise leave silent zero holes in local outputs).
+        for lo, hi in spans:
+            cols = sorted({(idx[1].start, idx[1].stop)
+                           for idx in idx_map.values()
+                           if idx[0].start == lo})
+            covered = 0
+            for c0, c1 in cols:
+                if c0 != covered:
+                    break
+                covered = c1
+            if covered != self.nlon:
+                raise ValueError(
+                    "process does not own full longitude rows; build the "
+                    "mesh with make_multihost_mesh (y split by process)")
 
     # ------------------------------------------------------------------
     def _global(self, local, sharding, global_shape):

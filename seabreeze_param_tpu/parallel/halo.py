@@ -121,9 +121,11 @@ def quirky_seam_patch(out, hx: int, w: int, *, axis_x: str = AXIS_X):
     ``out`` is (..., *, w + 2*hx) with a periodic x exchange already in
     place; ``w`` is the interior width.  Patches exactly the two positions
     where the quirky map ``max(1, modulo(j, nlons))`` differs from clean
-    periodicity (see module docstring) — valid for ANY hx <= w, and also
-    for blocks whose values were *computed* on a periodic apron (the slot
-    layout is positional).
+    periodicity (see module docstring) — valid for hx < w (at hx == w the
+    aliased column appears at a third, unpatched position in the opposite
+    halo; ``ShardedPipeline`` guards this), and also for blocks whose
+    values were *computed* on a periodic apron (the slot layout is
+    positional).
     """
     x_idx = lax.axis_index(axis_x)
     nx = lax.axis_size(axis_x)

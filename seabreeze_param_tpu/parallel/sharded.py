@@ -148,16 +148,23 @@ class ShardedPipeline:
         local_w = grid.nlon // px
         a_m = self.nn_max + self.k + 1          # overlapped mask apron
         basic = max(1, self.k, self.nn_max)     # basic-path widths
+        # Lon: STRICTLY narrower than the shard when the quirky seam
+        # patches are on — at hx == w the copy of global column nlon-1
+        # landing in a neighbor's opposite halo has no patch position
+        # (parallel.halo.quirky_seam_patch covers hx < w only).
+        exact = self.pipeline.params.exact_lon_indexing
+        max_w = local_w - 1 if exact else local_w
         if self.overlap == "auto":
-            self.overlap = a_m <= local_h and a_m <= local_w
+            self.overlap = a_m <= local_h and a_m <= max_w
         widest = a_m if self.overlap else basic
-        if widest > local_h or widest > local_w:
+        if widest > local_h or widest > max_w:
             raise ValueError(
                 f"halo width {widest} (overlap={self.overlap}: mask apron "
                 f"nn+k+1={a_m}, basic max(1,k={self.k},nn={self.nn_max})="
                 f"{basic}) exceeds the local shard extent "
-                f"{local_h}x{local_w} on a {py}x{px} mesh; use fewer "
-                f"shards or a finer grid")
+                f"{local_h}x{local_w}"
+                f"{' minus the quirky-seam margin' if exact else ''} on a "
+                f"{py}x{px} mesh; use fewer shards or a finer grid")
 
     # ------------------------------------------------------------------
     def _core_overlap(self, state, xs, lsm, z, std, pres, sdphi2_g, po_g,

@@ -58,6 +58,9 @@ class StepMetrics:
     def emit(self):
         out = self.stream if self.stream is not None else sys.stderr
         out.write(json.dumps(self.as_dict()) + "\n")
+        # flush per line: metrics exist for post-mortems, which are exactly
+        # the runs that die without reaching a clean close()
+        out.flush()
 
 
 class _Timed:

@@ -108,6 +108,27 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
         if ci is not None:
             ci = ci[None]
 
+    # Shape validation with clear errors (the reference's f2py build used
+    # -fbounds-check, setup.py:13; a raw XLA shape error names no field).
+    nlat, nlon = len(np.asarray(lat)), len(np.asarray(lon))
+    nlev = len(np.asarray(pres))
+    problems = []
+    for name, arr, want in (("lsm", np.asarray(lsm), (nlat, nlon)),
+                            ("z", np.asarray(z), (nlat, nlon)),
+                            ("std", np.asarray(std), (nlat, nlon)),
+                            ("u", u, (u.shape[0], nlev, nlat, nlon)),
+                            ("v", v, (u.shape[0], nlev, nlat, nlon)),
+                            ("theta", t, (u.shape[0], nlat, nlon))):
+        if arr.shape != want:
+            problems.append(f"{name}: got {arr.shape}, want {want}")
+    if ci is not None and ci.shape != (u.shape[0], nlat, nlon):
+        problems.append(f"ci: got {ci.shape}, want "
+                        f"{(u.shape[0], nlat, nlon)}")
+    if problems:
+        raise ValueError(
+            "diag input shapes inconsistent with (lon, lat, pres) — "
+            + "; ".join(problems))
+
     # Tighten/raise the static ring-search bound from the first timestep's
     # actual distance field (host-side; exact for arbitrary grids, see
     # ops.ring_search.required_ring_radius_host).

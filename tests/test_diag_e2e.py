@@ -111,3 +111,17 @@ def test_diag_mesh_kwarg_matches_single(small_case):
                                rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ws2), np.asarray(ws1),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_diag_shape_validation(small_case):
+    """Mismatched inputs raise a clear ValueError naming the field (the
+    reference relied on f2py -fbounds-check)."""
+    import pytest
+    c = small_case
+    with pytest.raises(ValueError, match="theta: got"):
+        diag(1, c["lsm"], c["z"], c["std"], c["lon"], c["lat"], c["p"],
+             c["u_t"][:1], c["v_t"][:1], c["theta_t"][:1, :, :-2],
+             c["ci_t"][:1])
+    with pytest.raises(ValueError, match="ci: got"):
+        diag(1, c["lsm"], c["z"], c["std"], c["lon"], c["lat"], c["p"],
+             c["u_t"][:2], c["v_t"][:2], c["theta_t"][:2], c["ci_t"][:1])

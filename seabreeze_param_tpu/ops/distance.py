@@ -403,7 +403,10 @@ def coast_distance(coast, lsm, grid: Grid, maxdist: float = 180.0,
     * ``'xla'`` — the pure separable two-pass form (any backend).
     * ``'pallas'`` — the fully fused tile kernel; loses to the hybrid
       because its pass-1 taps slice along lanes (a cross-lane rotate per
-      tap in VMEM), which XLA instead folds into HBM read addressing.
+      tap in VMEM), which XLA instead folds into HBM read addressing —
+      measured r4 on v5e: 0.28 vs 0.11 ms at 0.25° and 4.17 vs 1.70 ms at
+      0.1° (the coast-sparsity tile skip does not recover the rotate
+      cost).
 
     ``use_pallas`` — which routes the *ring* kernel to Pallas — does not
     switch this op; the distance choice is independent and auto-resolved.

@@ -157,3 +157,30 @@ def test_cumulus_mask():
     got2 = np.asarray(cumulus_mask(sb, min_strength=0.1))
     np.testing.assert_array_equal(
         got2, [[False, True, False], [False, True, False]])
+
+
+def test_cumulus_mask_from_sharded_trigger(small_case):
+    """BASELINE config #5's chain: the sharded trigger's sb_con feeding the
+    mock cumulus mask — mask from the mesh run equals mask from the
+    single-device run."""
+    from seabreeze_param_tpu.parallel.mesh import make_mesh
+    from seabreeze_param_tpu.parallel.sharded import ShardedPipeline
+
+    c = small_case
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    pipe = TriggerPipeline(grid)
+    nlat, nlon = c["lsm"].shape
+    state = TriggerState.zeros((nlat, nlon))
+    ref_state, ref_out = pipe.run(state, c["theta_t"][:2], c["u_t"][:2],
+                                  c["v_t"][:2], c["lsm"], c["z"], c["std"],
+                                  c["p"], ci_t=c["ci_t"][:2])
+    sp = ShardedPipeline(pipe, make_mesh((2, 2)))
+    got_state, got_out = sp.run(TriggerState.zeros((nlat, nlon)),
+                                c["theta_t"][:2], c["u_t"][:2],
+                                c["v_t"][:2], c["lsm"], c["z"], c["std"],
+                                c["p"], ci_t=c["ci_t"][:2])
+    ref_mask = np.asarray(cumulus_mask(ref_out["sb_con"][-1]))
+    got_mask = np.asarray(cumulus_mask(got_out["sb_con"][-1]))
+    assert ref_mask.any()            # the fixture world does trigger
+    mism = got_mask != ref_mask
+    assert mism.mean() < 1e-3        # borderline threshold flips only

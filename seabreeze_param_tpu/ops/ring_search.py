@@ -55,10 +55,15 @@ def required_ring_radius_host(cdist, maxdist, *, exact_lon: bool = True,
     NumPy + a chessboard distance transform — linear time, negligible next
     to one device step.  (The ring window of radius nn is exactly the
     Chebyshev ball, so required nn = max over classes of the Chebyshev
-    distance to the nearest cell of that class.)
+    distance to the nearest cell of that class.)  Uses scipy's cdt when
+    available, else a pure-NumPy dilation sweep (scipy is not a hard
+    dependency of this framework).
     """
     import numpy as _np
-    from scipy.ndimage import distance_transform_cdt
+    try:
+        from scipy.ndimage import distance_transform_cdt
+    except ImportError:
+        distance_transform_cdt = None
     from .indexing import (lat_index_clamped, lon_index_quirky,
                            lon_index_periodic, pad_indices)
 
@@ -74,10 +79,36 @@ def required_ring_radius_host(cdist, maxdist, *, exact_lon: bool = True,
     cols = pad_indices(nlon, cap,
                        lon_index_quirky if exact_lon else lon_index_periodic)
     Lp = land[rows][:, cols]
+
+    def _cheb_dist(zero_set):
+        """Chessboard distance to the nearest True cell of ``zero_set``."""
+        if distance_transform_cdt is not None:
+            return distance_transform_cdt(~zero_set, metric="chessboard")
+        # NumPy fallback: 3x3 dilation sweeps; each round grows the
+        # reached set by Chebyshev radius 1.  Bounded by cap rounds.
+        reached = zero_set.copy()
+        dist = _np.where(reached, 0, _np.iinfo(_np.int32).max)
+        for r in range(1, int(cap) + 1):
+            if reached.all():
+                break
+            grown = reached.copy()
+            grown[1:, :] |= reached[:-1, :]
+            grown[:-1, :] |= reached[1:, :]
+            grown[:, 1:] |= reached[:, :-1]
+            grown[:, :-1] |= reached[:, 1:]
+            grown[1:, 1:] |= reached[:-1, :-1]
+            grown[1:, :-1] |= reached[:-1, 1:]
+            grown[:-1, 1:] |= reached[1:, :-1]
+            grown[:-1, :-1] |= reached[1:, 1:]
+            newly = grown & ~reached
+            dist[newly] = r
+            reached = grown
+        return dist
+
     # Chebyshev distance to the nearest land / sea cell (cells of the class
     # itself get 0); clip into the padded frame's trust region.
-    r_land = distance_transform_cdt(~Lp, metric="chessboard")
-    r_sea = distance_transform_cdt(Lp, metric="chessboard")
+    r_land = _cheb_dist(Lp)
+    r_sea = _cheb_dist(~Lp)
     ctr = (slice(cap, cap + nlat), slice(cap, cap + nlon))
     need = _np.maximum(_np.maximum(r_land[ctr], r_sea[ctr]), 1)
     return int(min(cap, need[target].max()))

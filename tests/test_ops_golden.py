@@ -201,3 +201,33 @@ def test_coast_distance_nearest_form(case, request):
                                   sent[~near_cap])
     sel = ~sent & ~near_cap & (got != np.float32(12000.0))
     np.testing.assert_allclose(got[sel], ref[sel], rtol=1e-4, atol=1e-3)
+
+
+def test_required_ring_radius_no_scipy(small_case, monkeypatch):
+    """The pure-NumPy Chebyshev fallback must reproduce the scipy result
+    (scipy is not a hard dependency)."""
+    import builtins
+    import sys
+    from seabreeze_param_tpu.core.grid import Grid
+    from seabreeze_param_tpu.models.pipeline import TriggerPipeline
+    from seabreeze_param_tpu.ops.ring_search import required_ring_radius_host
+
+    c = small_case
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    pipe = TriggerPipeline(grid)
+    cdist = np.asarray(pipe.distance_field(jnp.asarray(c["lsm"]),
+                                           jnp.asarray(c["ci_t"][0])))
+    with_scipy = required_ring_radius_host(cdist, 180.0)
+
+    real_import = builtins.__import__
+
+    def no_scipy(name, *a, **k):
+        if name.startswith("scipy"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_scipy)
+    for mod in [m for m in sys.modules if m.startswith("scipy")]:
+        monkeypatch.delitem(sys.modules, mod)
+    without_scipy = required_ring_radius_host(cdist, 180.0)
+    assert without_scipy == with_scipy

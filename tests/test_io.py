@@ -306,3 +306,23 @@ def test_batch_driver_sharded_mesh(tmp_path_factory):
         np.testing.assert_array_equal(b >= 1e19, miss)
         mism = ~np.isclose(b[~miss], a[~miss], rtol=1e-5, atol=1e-4)
         assert mism.mean() < 1e-3
+
+
+def test_batch_driver_sharded_with_recovery(tmp_path_factory, tmp_path):
+    """mesh + ckpt_dir together: the sharded driver under the elastic
+    runner resumes across 'processes' and matches a plain sharded run."""
+    from seabreeze_param_tpu.cli.run import main
+    s = _build_synthetic_run(tmp_path_factory.mktemp("synthshardck"),
+                             nlat=160, nlon=288, nt=2)
+    ref = main(str(s["conf"]), progress=None, mesh="2x2")
+    # first "process": run under recovery (completes the whole series)
+    got = main(str(s["conf"]), progress=None, mesh="2x2",
+               ckpt_dir=str(tmp_path / "ck"))
+    assert got[0] == ref[0]
+    np.testing.assert_allclose(got[1], ref[1], rtol=1e-6, atol=1e-5)
+    # second "process" pointed at the same dir: everything already done,
+    # state comes straight from the checkpoint
+    again = main(str(s["conf"]), progress=None, mesh="2x2",
+                 ckpt_dir=str(tmp_path / "ck"))
+    assert again[0] == ref[0]
+    np.testing.assert_allclose(again[1], got[1], rtol=0, atol=0)

@@ -216,7 +216,7 @@ def pass1_extrema_nearest(cpad, k: int, half_dlam: float):
     return Mmin, Mmax
 
 
-def uniform_half_dlam(grid: Grid):
+def uniform_half_dlam(grid: Grid, k: int | None = None):
     """f32 half-spacing of a uniform GLOBAL lon axis, else None (static,
     host-side).
 
@@ -225,7 +225,13 @@ def uniform_half_dlam(grid: Grid):
     periodic wrap shifts the angle by exactly 360 deg, invisible to
     sin^2), but FALSE on regional grids, whose index-periodic wrap jumps
     by the domain width — there the tapped table form is the only correct
-    one (it is also what the reference's quirky seam produces)."""
+    one (it is also what the reference's quirky seam produces).
+
+    With ``k`` given, additionally require sin^2(d * dlam/2) to be
+    MONOTONE over the whole +-k window, i.e. k * dlam <= 180 deg — the
+    assumption :func:`pass1_extrema_nearest` rests on.  An extreme
+    ``maxdist`` override on a coarse grid violates it (e.g. k > nlon/2);
+    returning None there routes such configs to the exact tapped form."""
     if grid.nlon < 2:
         return None
     lon = grid.lon.astype(np.float64)
@@ -238,6 +244,9 @@ def uniform_half_dlam(grid: Grid):
         return None
     if not np.isclose(step * grid.nlon, 360.0, rtol=1e-4):
         return None      # regional domain: fake seam breaks |dj|-form
+    if k is not None and k * abs(step) > 180.0:
+        return None      # window wider than a half-circle: sin^2 no longer
+        #                  monotone in |dj| — nearest/farthest form invalid
     return np.float32(np.float32(step) * DEG2RAD_F32 / np.float32(2.0))
 
 
@@ -417,9 +426,11 @@ def coast_distance(coast, lsm, grid: Grid, maxdist: float = 180.0,
     impl = resolve_impl(impl)
     half_dlam = None
     if lon_form == "nearest":
-        half_dlam = uniform_half_dlam(grid)
+        half_dlam = uniform_half_dlam(grid, k_eff)
         if half_dlam is None:
-            raise ValueError("lon_form='nearest' needs a uniform lon axis")
+            raise ValueError(
+                "lon_form='nearest' needs a uniform global lon axis with "
+                "k*dlam <= 180 deg (monotone sin^2 window)")
     elif lon_form != "taps":
         raise ValueError(lon_form)
     if impl == "pallas":

@@ -208,13 +208,18 @@ def halo_strips_dma(local, hy: int, hx: int, *, axis_y: str = "y",
 
 def halo_exchange_dma(local, hy: int, hx: int, *, lat_fill: str = "clamp",
                       exact_lon: bool = True, axis_y: str = "y",
-                      axis_x: str = "x", interpret=False):
+                      axis_x: str = "x", interpret=False,
+                      collective_id: int = 7):
     """Drop-in equivalent of ``parallel.halo.halo_pad`` built on the remote
     DMA kernel: exchange + global-lat-edge fill + quirky-lon seam patches.
     Accepts an optional leading channel axis like ``halo_pad`` does — as
-    one kernel launch (barrier round + 8 DMAs) PER channel; a
-    multi-channel workload that is launch-bound should stack channels into
-    one 2-D block or use the ppermute path instead.
+    one kernel launch (barrier round + 8 DMAs) PER channel, each with its
+    OWN ``collective_id``: chained launches sharing one id would let a
+    fast device's next-launch barrier signals alias a slow device's
+    current-launch waits, weakening the entry barrier that protects
+    neighbors' out buffers (interpret-mode tests cannot surface this).
+    A multi-channel workload that is launch-bound should stack channels
+    into one 2-D block or use the ppermute path instead.
     """
     from ...parallel.halo import quirky_seam_patch
 
@@ -222,11 +227,12 @@ def halo_exchange_dma(local, hy: int, hx: int, *, lat_fill: str = "clamp",
         return jnp.stack([
             halo_exchange_dma(local[c], hy, hx, lat_fill=lat_fill,
                               exact_lon=exact_lon, axis_y=axis_y,
-                              axis_x=axis_x, interpret=interpret)
+                              axis_x=axis_x, interpret=interpret,
+                              collective_id=collective_id + c)
             for c in range(local.shape[0])])
     h, w = local.shape
     out = halo_strips_dma(local, hy, hx, axis_y=axis_y, axis_x=axis_x,
-                          interpret=interpret)
+                          interpret=interpret, collective_id=collective_id)
     if hy:
         y_idx = lax.axis_index(axis_y)
         ny = lax.axis_size(axis_y)

@@ -10,6 +10,8 @@ ride 'y', lon shards ride 'x', and neighbor exchanges become ICI
 """
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import jax
 
@@ -37,5 +39,11 @@ def make_mesh(shape: tuple[int, int] | None = None,
     if want > n:
         raise ValueError(f"mesh shape {shape} needs {want} devices, "
                          f"have {n}")
+    if want < n:
+        # Deliberate subsetting is legitimate (e.g. a 1x1 debug mesh on an
+        # 8-chip host), but a typo'd --mesh should not silently run on a
+        # fraction of the machine.
+        warnings.warn(f"mesh shape {shape} uses only {want} of {n} "
+                      f"available devices")
     dev_array = np.asarray(devices[:want]).reshape(shape)
     return jax.sharding.Mesh(dev_array, (AXIS_Y, AXIS_X))

@@ -136,10 +136,11 @@ class ShardedPipeline:
         self.half_dlam = None
         if self.pipeline.distance_lon_form == "nearest":
             from ..ops.distance import uniform_half_dlam
-            self.half_dlam = uniform_half_dlam(grid)
+            self.half_dlam = uniform_half_dlam(grid, self.k)
             if self.half_dlam is None:
                 raise ValueError(
-                    "distance_lon_form='nearest' needs a uniform lon axis")
+                    "distance_lon_form='nearest' needs a uniform global "
+                    "lon axis with k*dlam <= 180 deg")
         # Halo-width guard: the exchanges slice strips out of the LOCAL
         # shard, so every exchanged width must fit inside one shard (a mesh
         # too large for the grid would otherwise exchange garbage-width
@@ -154,6 +155,17 @@ class ShardedPipeline:
         # (parallel.halo.quirky_seam_patch covers hx < w only).
         exact = self.pipeline.params.exact_lon_indexing
         max_w = local_w - 1 if exact else local_w
+        if self.halo_backend == "dma":
+            # The explicit-DMA exchange only exists in the basic step
+            # structure; honoring the request must not silently fall back
+            # to ppermute when overlap would auto-resolve True.
+            if self.overlap == "auto":
+                self.overlap = False
+            elif self.overlap:
+                raise ValueError(
+                    "halo_backend='dma' requires the basic step structure; "
+                    "pass overlap=False (the overlapped form issues "
+                    "ppermute exchanges by design)")
         if self.overlap == "auto":
             self.overlap = a_m <= local_h and a_m <= max_w
         widest = a_m if self.overlap else basic

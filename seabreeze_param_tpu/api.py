@@ -36,6 +36,34 @@ _PARAM_KEYS = ("target_plev", "thresh_wind", "thresh_winddir",
                "thresh_windch", "thresh_thc", "target_time", "timestep",
                "maxdist")
 
+#: Executable cache: TriggerPipeline / ShardedPipeline instances keyed by
+#: (grid contents, params, impl flags, ring bound, mesh).  A pipeline
+#: instance owns its jitted runners (``TriggerPipeline._get_runner``,
+#: ``ShardedPipeline.build``), so reusing the instance across ``diag``
+#: calls means a multi-file batch run traces ONCE — the reference paid a
+#: c2f copy per step (``__init__.py:229-239``); without this cache we paid
+#: a re-trace per file.  Stats are exposed for tests and the metrics layer.
+_EXEC_CACHE: dict = {}
+CACHE_STATS = {"pipeline_hits": 0, "pipeline_misses": 0}
+
+
+def clear_exec_cache():
+    """Drop all cached pipelines/executables (tests; memory pressure)."""
+    _EXEC_CACHE.clear()
+    CACHE_STATS["pipeline_hits"] = 0
+    CACHE_STATS["pipeline_misses"] = 0
+
+
+def _cached_pipeline(grid_key, build, *key_extra):
+    key = (grid_key,) + key_extra
+    pipe = _EXEC_CACHE.get(key)
+    if pipe is None:
+        CACHE_STATS["pipeline_misses"] += 1
+        pipe = _EXEC_CACHE[key] = build()
+    else:
+        CACHE_STATS["pipeline_hits"] += 1
+    return pipe
+
 
 def _fill(ci):
     """``ci.filled(0)`` for masked arrays (__init__.py:225), else as-is."""
@@ -94,9 +122,15 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
                             jnp.float32),
     )
 
-    grid = Grid(lon=np.asarray(lon, np.float32), lat=np.asarray(lat,
-                                                                np.float32))
-    pipe = TriggerPipeline(grid=grid, params=params, use_pallas=use_pallas)
+    lon_a = np.asarray(lon, np.float32)
+    lat_a = np.asarray(lat, np.float32)
+    grid_key = (lon_a.tobytes(), lat_a.tobytes())
+    pkey = (params, use_pallas)
+    grid = Grid(lon=lon_a, lat=lat_a)
+    pipe = _cached_pipeline(
+        grid_key, lambda: TriggerPipeline(grid=grid, params=params,
+                                          use_pallas=use_pallas),
+        "base", pkey)
 
     u = np.asarray(u, np.float32)
     v = np.asarray(v, np.float32)
@@ -131,21 +165,35 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
 
     # Tighten/raise the static ring-search bound from the first timestep's
     # actual distance field (host-side; exact for arbitrary grids, see
-    # ops.ring_search.required_ring_radius_host).
+    # ops.ring_search.required_ring_radius_host).  The probe's jitted
+    # distance transform is cached on the base pipeline, so repeated calls
+    # on the same grid (the batch driver's per-file loop) only pay a device
+    # execution, not a re-trace.
     from .ops.ring_search import required_ring_radius_host
     import jax
-    _dist = jax.jit(lambda l, c: pipe.distance_field(l, c))
+    dist_fn = pipe.distance_field_jit()
     if ci is None:
-        cdist0 = np.asarray(jax.jit(lambda l: pipe.distance_field(l))(
-            jnp.asarray(lsm, jnp.float32)))
+        cdist0 = np.asarray(dist_fn(jnp.asarray(lsm, jnp.float32)))
     else:
-        cdist0 = np.asarray(_dist(jnp.asarray(lsm, jnp.float32),
-                                  jnp.asarray(ci[0], jnp.float32)))
+        cdist0 = np.asarray(dist_fn(jnp.asarray(lsm, jnp.float32),
+                                    jnp.asarray(ci[0], jnp.float32)))
     req = required_ring_radius_host(cdist0, params.maxdist,
                                     exact_lon=params.exact_lon_indexing)
-    pipe = TriggerPipeline(
-        grid=grid, params=params, use_pallas=use_pallas,
-        ring_nn=max(pipe.nn_max, req + params.ring_search_margin))
+    needed = max(pipe.nn_max, req + params.ring_search_margin)
+    # Sticky bound: if a previous call on this grid already compiled with a
+    # bound >= needed, reuse it — the wider ring search is exact (latched
+    # classes ignore extra rings) and reuse avoids a re-trace when sea ice
+    # shifts the required radius slightly between files.
+    nn_key = (grid_key, "ring_nn", pkey)
+    prev_nn = _EXEC_CACHE.get(nn_key)
+    ring_nn = prev_nn if isinstance(prev_nn, int) and prev_nn >= needed \
+        else int(needed)
+    _EXEC_CACHE[nn_key] = ring_nn
+    pipe = _cached_pipeline(
+        grid_key, lambda: TriggerPipeline(grid=grid, params=params,
+                                          use_pallas=use_pallas,
+                                          ring_nn=ring_nn),
+        "ring", pkey, ring_nn)
 
     if mesh is not None:
         from .parallel.mesh import make_mesh
@@ -158,7 +206,9 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
             m = make_mesh(tuple(int(s) for s in mesh.split("x")))  # "2x4"
         else:
             m = make_mesh(tuple(int(s) for s in mesh))
-        sp = ShardedPipeline(pipe, m)
+        sp = _cached_pipeline(
+            grid_key, lambda: ShardedPipeline(pipe, m),
+            "sharded", pkey, ring_nn, m)
         final, outs = sp.run(state, t, u, v, lsm, z, std, pres, ci_t=ci)
     else:
         final, outs = pipe.run(state, t, u, v, lsm, z, std, pres, ci_t=ci)

@@ -40,6 +40,13 @@ def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
 
     from ..utils.metrics import StepMetrics
 
+    if watchdog_s and not ckpt_dir:
+        # The watchdog's abort path re-enters the unit from the last
+        # checkpoint; without a checkpoint directory there is nothing to
+        # restore to, so the option would be silently inert.
+        import warnings
+        warnings.warn("watchdog_s requires ckpt_dir (the stall recovery "
+                      "restores from checkpoint); ignoring watchdog_s")
     cfg = Config(config)
     meta = Meta(cfg)
     shape = (len(meta.lat), len(meta.lon))
@@ -134,8 +141,12 @@ Options:
                        resume across reruns (default: off)
     save_every       : checkpoint cadence in files (default: 1)
     max_retries      : transient-failure retries per file (default: 2)
-    watchdog_s       : liveness deadline in seconds — abort + restart a file
-                       that makes no progress for this long (default: off)
+    watchdog_s       : liveness deadline in seconds — a file making no
+                       progress for this long is aborted (async exception
+                       in the runner thread; a dispatch hung inside the
+                       device runtime instead needs a process-level restart,
+                       which resumes from the checkpoint) and retried from
+                       the last checkpoint.  Requires ckpt_dir (default: off)
     metrics_file     : append one JSON metrics line per processed file
                        (per-step wall time, grid-points/s; default: off)
     mesh             : device mesh for sharded execution — "auto" (all

@@ -14,7 +14,6 @@ Call-sequence parity with the model-coupling contract
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 
 import jax
@@ -27,6 +26,14 @@ from ..ops.coastline import get_edges
 from ..ops.distance import coast_distance, effective_radius
 from ..ops.orography import sigmoid_weight
 from ..ops.trigger import trigger_step
+
+#: Trace-time counter (incremented inside the jitted scan body, which under
+#: ``jax.jit`` executes only when XLA actually re-traces).  Lets tests and
+#: the batch driver assert that repeated ``run`` calls on one pipeline reuse
+#: the cached executable instead of re-tracing per input file — the
+#: re-trace-per-file disease is this framework's analogue of the reference's
+#: per-step c2f copy tax (``__init__.py:229-239``).
+TRACE_STATS = {"traces": 0}
 
 
 @dataclass(frozen=True)
@@ -90,6 +97,54 @@ class TriggerPipeline:
                             pallas_interpret=self.pallas_interpret)
 
     # ------------------------------------------------------------------
+    def distance_field_jit(self):
+        """Jitted, per-pipeline-cached form of :meth:`distance_field`.
+
+        The batch driver probes the first timestep's distance field on every
+        input file (``api.diag``); a fresh ``jax.jit(lambda ...)`` there
+        would re-trace the whole transform per file."""
+        fn = getattr(self, "_dist_jit", None)
+        if fn is None:
+            fn = jax.jit(lambda lsm, ci=None: self.distance_field(lsm, ci))
+            object.__setattr__(self, "_dist_jit", fn)
+        return fn
+
+    def _get_runner(self, has_ci: bool, jit: bool):
+        """The scan runner, cached per (has_ci, jit) on this pipeline.
+
+        The scan function takes every field as an EXPLICIT argument (no
+        fresh closures over lsm/z/std/pres), so repeated ``run`` calls hit
+        jax's jit cache: one trace + one executable per pipeline per input
+        shape, however many files a batch run processes.
+        """
+        cache = getattr(self, "_runners", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_runners", cache)
+        key = (has_ci, jit)
+        if key in cache:
+            return cache[key]
+
+        def scan_all(state, xs, lsm, z, std, pres, cdist0):
+            TRACE_STATS["traces"] += 1
+
+            def scan_fn(carry, x):
+                if has_ci:
+                    th, uu, vv, ci = x
+                    return self.step(carry, th, uu, vv, lsm, z, std, pres,
+                                     ci=ci)
+                th, uu, vv = x
+                return trigger_step(
+                    carry, th, uu, vv, cdist0, z, std, pres, self.params,
+                    self.nn_max, use_pallas=self.use_pallas,
+                    pallas_interpret=self.pallas_interpret)
+
+            return jax.lax.scan(scan_fn, state, xs)
+
+        runner = jax.jit(scan_all, donate_argnums=(0,)) if jit else scan_all
+        cache[key] = runner
+        return runner
+
     def run(self, state: TriggerState, theta_t, u_t, v_t, lsm, z, std, pres,
             ci_t=None, *, jit: bool = True):
         """Scan over the leading time axis.
@@ -106,32 +161,18 @@ class TriggerPipeline:
         z = jnp.asarray(z, jnp.float32)
         std = jnp.asarray(std, jnp.float32)
         pres = jnp.asarray(pres, jnp.float32)
+        has_ci = ci_t is not None
 
         # Without sea ice the coastline is static: compute the distance field
         # once outside the scan (the reference's ci=None branch likewise
         # computes it once, __init__.py:216-218).
-        cdist0 = None if ci_t is not None else self.distance_field(lsm, None)
-
-        def scan_fn(carry, xs):
-            if ci_t is None:
-                th, uu, vv = xs
-                new_state, out = trigger_step(
-                    carry, th, uu, vv, cdist0, z, std, pres, self.params,
-                    self.nn_max, use_pallas=self.use_pallas,
-                    pallas_interpret=self.pallas_interpret)
-            else:
-                th, uu, vv, ci = xs
-                new_state, out = self.step(carry, th, uu, vv, lsm, z, std,
-                                           pres, ci=ci)
-            return new_state, out
+        cdist0 = None if has_ci else self.distance_field_jit()(lsm)
 
         xs = (jnp.asarray(theta_t, jnp.float32),
               jnp.asarray(u_t, jnp.float32),
               jnp.asarray(v_t, jnp.float32))
-        if ci_t is not None:
+        if has_ci:
             xs = xs + (jnp.asarray(ci_t, jnp.float32),)
 
-        runner = functools.partial(jax.lax.scan, scan_fn)
-        if jit:
-            runner = jax.jit(runner, donate_argnums=(0,))
-        return runner(state, xs)
+        runner = self._get_runner(has_ci, jit)
+        return runner(state, xs, lsm, z, std, pres, cdist0)

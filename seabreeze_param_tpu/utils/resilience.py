@@ -8,8 +8,13 @@ the standard JAX-production answer scaled to this framework:
 
 * :class:`Watchdog` — a liveness monitor: the run beats once per work unit;
   a missing beat past the deadline marks the run stalled (the single-host
-  analogue of multi-host coordinator heartbeats) and invokes a callback
-  (default: log loudly).
+  analogue of multi-host coordinator heartbeats) and invokes a callback.
+  The bare class defaults to logging; ``run_resilient`` installs an ACTING
+  callback that aborts the stalled unit (async :class:`StallError` in the
+  runner thread) and re-enters it through the restore/retry machinery.
+  A stall inside one blocked C call (a truly hung device dispatch) cannot
+  be interrupted in-process — there the checkpoint directory is the
+  recovery: a supervising restart resumes after the last completed unit.
 * :func:`run_resilient` — unit-at-a-time driver loop with periodic orbax
   checkpoints (``core.checkpoint``) and restart-from-last-checkpoint
   retries: on an exception the state (and the index of the next unit) is
@@ -32,6 +37,29 @@ from ..core import checkpoint as ckpt
 from ..core.state import TriggerState
 
 logger = logging.getLogger("seabreeze_param_tpu.resilience")
+
+
+class StallError(Exception):
+    """Raised (asynchronously) in the runner thread when the watchdog
+    deadline passes with no progress beat; handled by ``run_resilient``'s
+    restore-and-retry machinery like any other unit failure."""
+
+
+def _async_raise(thread_ident: int, exc_type) -> bool:
+    """Schedule ``exc_type`` in the thread with ``thread_ident``.
+
+    Uses ``PyThreadState_SetAsyncExc``: the exception surfaces the next
+    time that thread executes Python bytecode.  That aborts stalls in
+    Python-level loops, host IO waits, and the gaps *between* device
+    dispatches — but cannot interrupt a single blocked C call (a truly
+    hung XLA dispatch needs process-level supervision; the checkpoint
+    directory makes the restarted process resume, which is the designed
+    recovery for that case).
+    """
+    import ctypes
+    res = ctypes.pythonapi.PyThreadState_SetAsyncExc(
+        ctypes.c_ulong(thread_ident), ctypes.py_object(exc_type))
+    return res == 1
 
 
 class Watchdog:
@@ -115,7 +143,19 @@ def run_resilient(units: Sequence, step_fn: Callable,
 
     completed = start
     retries = 0
-    wd_ctx = (Watchdog(watchdog_deadline_s)
+    runner_tid = threading.get_ident()
+
+    def _abort_stalled(age_s: float):
+        # The acting watchdog: abort the stalled unit by raising StallError
+        # in the runner thread; the except path below restores the last
+        # checkpoint and retries the unit (up to max_retries), exactly like
+        # any other transient failure.  See _async_raise for the limits.
+        logger.error("watchdog: no progress for %.1f s — aborting the "
+                     "current unit and retrying from the last checkpoint",
+                     age_s)
+        _async_raise(runner_tid, StallError)
+
+    wd_ctx = (Watchdog(watchdog_deadline_s, on_stall=_abort_stalled)
               if watchdog_deadline_s else None)
 
     def _save(i):
@@ -129,8 +169,19 @@ def run_resilient(units: Sequence, step_fn: Callable,
             wd_ctx.__enter__()
         i = start
         while i < len(units):
+            # The try covers the full loop body so a watchdog StallError
+            # landing between the step and the checkpoint save still takes
+            # the restore-and-retry path instead of escaping.
             try:
                 state = step_fn(state, units[i])
+                i += 1
+                completed = i
+                if wd_ctx:
+                    wd_ctx.beat()
+                if progress:
+                    progress(i - 1, units[i - 1])
+                if save_every and (i % save_every == 0 or i == len(units)):
+                    _save(i)
             except Exception:
                 retries += 1
                 if retries > max_retries:
@@ -139,6 +190,8 @@ def run_resilient(units: Sequence, step_fn: Callable,
                 logger.exception(
                     "unit %d failed (retry %d/%d); restoring last "
                     "checkpoint", i, retries, max_retries)
+                if wd_ctx:
+                    wd_ctx.beat()   # re-arm: the retry is fresh progress
                 if retry_wait_s:
                     time.sleep(retry_wait_s)
                 restored, extra = ckpt.restore_state(ckpt_dir)
@@ -146,14 +199,6 @@ def run_resilient(units: Sequence, step_fn: Callable,
                     state = restored
                     i = int(extra.get("next_unit", i)) if extra else i
                 continue
-            i += 1
-            completed = i
-            if wd_ctx:
-                wd_ctx.beat()
-            if progress:
-                progress(i - 1, units[i - 1])
-            if save_every and (i % save_every == 0 or i == len(units)):
-                _save(i)
     finally:
         if wd_ctx:
             wd_ctx.__exit__(None, None, None)

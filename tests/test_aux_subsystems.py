@@ -264,6 +264,46 @@ def test_run_resilient_resumes_across_processes(tmp_path):
                                   np.full(shape, 4.0, F))
 
 
+def test_run_resilient_watchdog_aborts_stalled_unit(tmp_path):
+    """The acting watchdog: a unit making no progress past the deadline is
+    aborted (async StallError in the runner thread) and re-entered through
+    the restore/retry path; the run then completes normally."""
+    import time
+    from seabreeze_param_tpu.core.state import TriggerState
+    from seabreeze_param_tpu.utils.resilience import StallError, run_resilient
+
+    shape = (3, 3)
+    state0 = TriggerState(tt=np.int32(1), thc=np.zeros(shape, F),
+                          windspeed=np.zeros(shape, F),
+                          winddir=np.zeros(shape, F))
+    attempts = []
+
+    def step(state, unit):
+        attempts.append(unit)
+        if unit == "b" and attempts.count("b") == 1:
+            # Hang in short Python-level sleeps so the async exception can
+            # land (a single blocked C call could not be interrupted —
+            # documented limitation).
+            try:
+                for _ in range(100):
+                    time.sleep(0.05)
+            except StallError:
+                raise
+            raise AssertionError("watchdog never fired")
+        return TriggerState(tt=state.tt + 1, thc=state.thc + F(1.0),
+                            windspeed=state.windspeed, winddir=state.winddir)
+
+    units = ["a", "b", "c"]
+    final, done = run_resilient(units, step, state0, str(tmp_path / "ck"),
+                                save_every=1, max_retries=2,
+                                watchdog_deadline_s=0.4)
+    assert done == len(units)
+    assert attempts.count("b") == 2          # aborted once, retried once
+    assert int(final.tt) == 4
+    np.testing.assert_array_equal(np.asarray(final.thc),
+                                  np.full(shape, 3.0, F))
+
+
 def test_watchdog_detects_stall():
     import time
     from seabreeze_param_tpu.utils.resilience import Watchdog

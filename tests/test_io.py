@@ -251,6 +251,30 @@ def test_batch_driver_end_to_end(synthetic_run):
             assert (np.abs(data[data < 1e19]) >= 0).all()
 
 
+def test_batch_driver_reuses_cached_executable(tmp_path_factory):
+    """The 2nd+ file of a batch run must NOT re-trace the scan: api.diag
+    caches pipeline instances keyed by (grid, params, flags, ring bound),
+    and each pipeline caches its jitted runner, so the trace counter stays
+    flat after the first file (the re-trace-per-file analogue of the
+    reference's per-step c2f copy tax, ``__init__.py:229-239``)."""
+    from seabreeze_param_tpu import api
+    from seabreeze_param_tpu.cli.run import main
+    from seabreeze_param_tpu.models import pipeline as plmod
+    s = _build_synthetic_run(tmp_path_factory.mktemp("synthcache"))
+    api.clear_exec_cache()
+    t0 = plmod.TRACE_STATS["traces"]
+    main(str(s["conf"]), progress=None)
+    traces_first = plmod.TRACE_STATS["traces"] - t0
+    # two files, ONE trace of the scan (sticky ring bound keeps the second
+    # file on the compiled executable)
+    assert traces_first == 1, traces_first
+    assert api.CACHE_STATS["pipeline_hits"] >= 2    # base + ring, file 2
+    # a whole fresh driver run on the same config re-traces nothing
+    t1 = plmod.TRACE_STATS["traces"]
+    main(str(s["conf"]), progress=None)
+    assert plmod.TRACE_STATS["traces"] == t1
+
+
 def test_create_nc_append(synthetic_run, tmp_path):
     s = synthetic_run
     meta = Meta(Config(s["conf"]))

@@ -158,6 +158,11 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
     if ci is not None and ci.shape != (u.shape[0], nlat, nlon):
         problems.append(f"ci: got {ci.shape}, want "
                         f"{(u.shape[0], nlat, nlon)}")
+    pres_arr = np.asarray(pres)
+    if pres_arr.ndim == 3 and pres_arr.shape != (nlev, nlat, nlon):
+        # UM coupling contract: per-column pressure on rho levels
+        problems.append(f"pres: got {pres_arr.shape}, want "
+                        f"{(nlev, nlat, nlon)} (or 1-D (nlev,))")
     if problems:
         raise ValueError(
             "diag input shapes inconsistent with (lon, lat, pres) — "

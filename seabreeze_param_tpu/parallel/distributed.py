@@ -192,14 +192,18 @@ class DistributedRunner:
             windspeed=self._field(pad(np.asarray(state.windspeed,
                                                  np.float32))),
             winddir=self._field(pad(np.asarray(state.winddir, np.float32))))
+        pres_np = np.asarray(pres, np.float32)
+        pres_3d = pres_np.ndim == 3
+        pres_arg = (self._field(pad(pres_np), (pres_np.shape[0],))
+                    if pres_3d else self._replicated(pres_np))
         args = (state_p, xs, self._field(pad(np.asarray(lsm, np.float32))),
                 self._field(pad(np.asarray(z, np.float32))),
                 self._field(pad(np.asarray(std, np.float32))),
-                self._replicated(np.asarray(pres, np.float32)),
+                pres_arg,
                 self._replicated(self.sp.tables[0]),
                 self._replicated(self.sp.tables[1]),
                 self._replicated(self.sp.tables[2]))
-        final, outs = self.sp.build(has_ci)(*args)
+        final, outs = self.sp.build(has_ci, pres_3d)(*args)
 
         # assemble this process's local row block from addressable shards
         lo = self.row_lo

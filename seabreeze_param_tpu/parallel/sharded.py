@@ -336,23 +336,33 @@ class ShardedPipeline:
                     has_ci=has_ci)
 
     # ------------------------------------------------------------------
-    def build(self, has_ci: bool = True):
+    def build(self, has_ci: bool = True, pres_3d: bool = False):
         """The jitted shard_map-wrapped scan function (cached per variant —
-        rebuilding the wrapper every call would re-trace)."""
+        rebuilding the wrapper every call would re-trace).
+
+        ``pres_3d`` selects the UM coupling contract
+        (``UM/vn10.7/sea_breeze_diag.F90:79-82``): (nlev, nlat, nlon)
+        pressure on rho levels, sharded P(None, 'y', 'x') — the per-column
+        nearest-level selection (``ops.trigger.wind_at_level``) is purely
+        local, so no halo is needed and the MPI-decomposed UM variant's
+        behavior carries over shard-count-invariantly.
+        """
         cache = getattr(self, "_built", None)
         if cache is None:
             cache = self._built = {}
-        if has_ci in cache:
-            return cache[has_ci]
+        key = (has_ci, pres_3d)
+        if key in cache:
+            return cache[key]
         fld = P(AXIS_Y, AXIS_X)
         state_spec = TriggerState(tt=P(), thc=fld, windspeed=fld, winddir=fld)
         xs_spec = (P(None, AXIS_Y, AXIS_X), P(None, None, AXIS_Y, AXIS_X),
                    P(None, None, AXIS_Y, AXIS_X))
         if has_ci:
             xs_spec = xs_spec + (P(None, AXIS_Y, AXIS_X),)
+        pres_spec = P(None, AXIS_Y, AXIS_X) if pres_3d else P()
         # Distance tables ride replicated: each shard gathers the table rows
         # of its (apron-extended) block itself — a few hundred KB at 0.1 deg.
-        in_specs = (state_spec, xs_spec, fld, fld, fld, P(),
+        in_specs = (state_spec, xs_spec, fld, fld, fld, pres_spec,
                     P(None, None), P(None, None), P(None, None))
         out_specs = (state_spec,
                      {k: P(None, AXIS_Y, AXIS_X)
@@ -366,8 +376,8 @@ class ShardedPipeline:
         fn = jax.shard_map(functools.partial(self._core, has_ci=has_ci),
                            mesh=self.mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
-        cache[has_ci] = jax.jit(fn)
-        return cache[has_ci]
+        cache[key] = jax.jit(fn)
+        return cache[key]
 
     # ------------------------------------------------------------------
     def run(self, state: TriggerState, theta_t, u_t, v_t, lsm, z, std, pres,
@@ -387,13 +397,16 @@ class ShardedPipeline:
             windspeed=jnp.asarray(padf(np.asarray(state.windspeed)),
                                   jnp.float32),
             winddir=jnp.asarray(padf(np.asarray(state.winddir)), jnp.float32))
+        pres_a = np.asarray(pres, np.float32)
+        pres_3d = pres_a.ndim == 3
         args = (state_p, xs, jnp.asarray(padf(lsm), jnp.float32),
                 jnp.asarray(padf(z), jnp.float32),
                 jnp.asarray(padf(std), jnp.float32),
-                jnp.asarray(pres, jnp.float32),
+                jnp.asarray(padf(pres_a) if pres_3d else pres_a,
+                            jnp.float32),
                 jnp.asarray(self.tables[0]), jnp.asarray(self.tables[1]),
                 jnp.asarray(self.tables[2]))
-        final, outs = self.build(has_ci)(*args)
+        final, outs = self.build(has_ci, pres_3d)(*args)
         sl = slice(0, self.nlat_real)
         final = TriggerState(tt=final.tt, thc=final.thc[sl],
                              windspeed=final.windspeed[sl],

@@ -67,14 +67,20 @@ def _enable_compile_cache():
     enable()
 
 
-def verify(grid_name: str, nlev: int):
-    """On-device numerical check of the production kernels: one full step
-    with the fused Pallas kernels + hybrid distance vs the pure-XLA path,
-    on the actual backend under test (SURVEY §4c's allclose gate on real
-    silicon — interpret-mode tests cannot catch a Mosaic miscompile).
+def verify(grid_name: str, nlev: int, steps: int = 3):
+    """On-device numerical check of the production kernels: a SHORT SCAN
+    (``steps`` >= 3, entered at tt=14 so the window spans the 6-hourly
+    wind-refresh cadence branch at tt=15: 15 * 24 min = 6 h) with the fused
+    Pallas kernels + hybrid distance vs the pure-XLA path, on the actual
+    backend under test (SURVEY §4c's allclose gate on real silicon —
+    interpret-mode tests cannot catch a Mosaic miscompile).  Running the
+    compiled scan — not a single step — also verifies the state carry
+    threading through the fused path: a miscompile affecting only the
+    carried state fails here.
 
-    Returns True when outputs agree (identical missing-value structure,
-    allclose elsewhere, state windspeed/winddir bit-equal).
+    Returns True when every per-step output field agrees (identical
+    missing-value structure, allclose elsewhere) and the final carried
+    state (thc/windspeed/winddir) is bit-equal between the two paths.
     """
     import jax
     import jax.numpy as jnp
@@ -83,38 +89,34 @@ def verify(grid_name: str, nlev: int):
     from seabreeze_param_tpu.models.pipeline import TriggerPipeline
 
     nlat, nlon = GRIDS[grid_name]
-    lsm, z, std, pres, theta, u, v, ci = make_world(nlat, nlon, nlev, 1,
+    lsm, z, std, pres, theta, u, v, ci = make_world(nlat, nlon, nlev, steps,
                                                     seed=3)
     lat0, lat1, lon_span = GRID_DOMAIN.get(grid_name, (90.0, -90.0, 360.0))
     grid = Grid.regular(nlat, nlon, lat0=lat0, lat1=lat1, lon1=lon_span)
     # off-TPU, the Pallas side runs in interpret mode (the harness can be
     # sanity-checked on CPU; on TPU the compiled kernels are the point)
     interpret = jax.default_backend() != "tpu"
-    outs = {}
+    results = {}
     for name, kw in (("pallas", dict(use_pallas=True,
                                      distance_impl="hybrid",
                                      pallas_interpret=interpret)),
                      ("xla", dict(use_pallas=False, distance_impl="xla"))):
         pipe = TriggerPipeline(grid, **kw)
-        # tt=15 exercises the 6-hourly wind-refresh cadence branch too
-        state = TriggerState(tt=jnp.int32(15),
+        # tt=14: steps 14 (pre-refresh), 15 (refresh), 16 (post-refresh)
+        state = TriggerState(tt=jnp.int32(14),
                              thc=jnp.zeros((nlat, nlon), jnp.float32),
                              windspeed=jnp.full((nlat, nlon), 5.0,
                                                 jnp.float32),
                              winddir=jnp.full((nlat, nlon), 90.0,
                                               jnp.float32))
-        fn = jax.jit(lambda s, th, uu, vv, cc, l, zz, sd, p, pipe=pipe:
-                     pipe.step(s, th, uu, vv, l, zz, sd, p, ci=cc))
-        st, out = fn(state, jnp.asarray(theta[0]), jnp.asarray(u[0]),
-                     jnp.asarray(v[0]), jnp.asarray(ci[0]),
-                     jnp.asarray(lsm), jnp.asarray(z), jnp.asarray(std),
-                     jnp.asarray(pres))
-        outs[name] = {k: np.asarray(val) for k, val in out.items()}
-        outs[name]["_ws_state"] = np.asarray(st.windspeed)
-        outs[name]["_wd_state"] = np.asarray(st.winddir)
+        st, out = pipe.run(state, theta, u, v, lsm, z, std, pres, ci_t=ci)
+        results[name] = {k: np.asarray(val) for k, val in out.items()}
+        results[name]["_thc_state"] = np.asarray(st.thc)
+        results[name]["_ws_state"] = np.asarray(st.windspeed)
+        results[name]["_wd_state"] = np.asarray(st.winddir)
     ok = True
     for key in ("sb_con", "t0", "windspeed", "winddir"):
-        g, r = outs["pallas"][key], outs["xla"][key]
+        g, r = results["pallas"][key], results["xla"][key]
         miss_g, miss_r = g == np.float32(2e20), r == np.float32(2e20)
         if not np.array_equal(miss_g, miss_r):
             ok = False
@@ -127,10 +129,11 @@ def verify(grid_name: str, nlev: int):
             ok = False
             print(f"# VERIFY FAIL {key}: max abs diff {bad}",
                   file=sys.stderr)
-    for key in ("_ws_state", "_wd_state"):
-        if not np.array_equal(outs["pallas"][key], outs["xla"][key]):
+    for key in ("_thc_state", "_ws_state", "_wd_state"):
+        if not np.array_equal(results["pallas"][key], results["xla"][key]):
             ok = False
-            print(f"# VERIFY FAIL {key}: state differs", file=sys.stderr)
+            print(f"# VERIFY FAIL {key}: final state differs after "
+                  f"{steps}-step scan", file=sys.stderr)
     return ok
 
 
@@ -211,9 +214,14 @@ def main():
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--verify", default=None, action="store_true",
-                    help="on-device Pallas-vs-XLA allclose check of one "
-                         "full step (default: on for TPU backends)")
+                    help="on-device Pallas-vs-XLA allclose check of a "
+                         "3-step scan spanning the wind-refresh cadence "
+                         "(default: on for TPU backends)")
     ap.add_argument("--no-verify", dest="verify", action="store_false")
+    ap.add_argument("--all-configs", action="store_true",
+                    help="emit one JSON line per BASELINE.md config "
+                         "(global025, regional025, global010) instead of "
+                         "only --grid — the self-contained BENCH artifact")
     args = ap.parse_args()
 
     _enable_compile_cache()
@@ -226,34 +234,46 @@ def main():
     if args.verify is None:
         args.verify = args.pallas
 
-    verified = verify(args.grid, args.nlev) if args.verify else None
-
-    throughput, step_s, k, nn = run(args.grid, args.steps, args.nlev,
-                                    args.pallas, args.repeats, args.passes)
-
-    vs = 1.0
     base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline_cpu.json")
+    base = {}
     if os.path.exists(base_file):
         with open(base_file) as f:
             base = json.load(f)
-        ref = base.get(args.grid, {}).get("grid_points_per_s")
+
+    def one_config(grid_name, steps, passes):
+        verified = verify(grid_name, args.nlev) if args.verify else None
+        throughput, step_s, k, nn = run(grid_name, steps, args.nlev,
+                                        args.pallas, args.repeats, passes)
+        vs = 1.0
+        ref = base.get(grid_name, {}).get("grid_points_per_s")
         if ref:
             vs = throughput / ref
+        line = {
+            "metric": f"trigger-pipeline throughput, {grid_name} "
+                      f"({platform}, k={k}, nn={nn}, "
+                      f"{steps * passes} steps)",
+            "value": round(throughput, 1),
+            "unit": "grid-points/s",
+            "vs_baseline": round(vs, 3),
+        }
+        if verified is not None:
+            line["verified"] = bool(verified)
+        print(json.dumps(line))
+        sys.stdout.flush()
+        print(f"# {grid_name} step time: {step_s*1e3:.2f} ms/step",
+              file=sys.stderr)
+        return verified
 
-    line = {
-        "metric": f"trigger-pipeline throughput, {args.grid} "
-                  f"({platform}, k={k}, nn={nn}, "
-                  f"{args.steps * args.passes} steps)",
-        "value": round(throughput, 1),
-        "unit": "grid-points/s",
-        "vs_baseline": round(vs, 3),
-    }
-    if verified is not None:
-        line["verified"] = bool(verified)
-    print(json.dumps(line))
-    print(f"# step time: {step_s*1e3:.2f} ms/step", file=sys.stderr)
-    if verified is False:
+    if args.all_configs:
+        # Larger grids get fewer in-dispatch steps to bound HBM use.
+        plans = (("global025", args.steps, args.passes),
+                 ("regional025", args.steps, args.passes),
+                 ("global010", min(args.steps, 8), args.passes))
+        flags = [one_config(g, s, p) for g, s, p in plans]
+    else:
+        flags = [one_config(args.grid, args.steps, args.passes)]
+    if any(v is False for v in flags):
         # the on-device allclose gate failed: report it loudly in the exit
         # status too, so automation gating on bench cannot record a
         # miscompiled kernel's throughput as a valid baseline

@@ -65,6 +65,75 @@ def _cached_pipeline(grid_key, build, *key_extra):
     return pipe
 
 
+def _run_multihost(pipe, mesh, grid_key, pkey, ring_nn, state, t, u, v,
+                   lsm, z, std, pres, ci):
+    """Multi-process production path (the reference's decomposed MPI run,
+    ``UM/vn10.7/sea_breeze_diag.F90:408-410``): a global ('y','x') mesh over
+    ALL processes' devices, per-process local-row device feeding through
+    :class:`parallel.distributed.DistributedRunner`, and the outputs
+    allgathered back so every process returns the reference-contract global
+    fields.  Host inputs here are still the global arrays (each process
+    reads the same files); only device memory is fed locally."""
+    import jax
+    from .core.state import TriggerState
+    from .parallel import distributed as dist
+    from .parallel.sharded import ShardedPipeline
+
+    if isinstance(mesh, jax.sharding.Mesh):
+        shape = (mesh.shape["y"], mesh.shape["x"])
+    elif mesh in (None, "auto"):
+        shape = None
+    elif isinstance(mesh, str):
+        shape = tuple(int(s) for s in mesh.split("x"))
+    else:
+        shape = tuple(int(s) for s in mesh)
+    key = (grid_key, "multihost", pkey, ring_nn, jax.process_count(), shape)
+    runner = _EXEC_CACHE.get(key)
+    if runner is None:
+        CACHE_STATS["pipeline_misses"] += 1
+        m = dist.make_multihost_mesh(shape)
+        runner = dist.DistributedRunner(ShardedPipeline(pipe, m))
+        _EXEC_CACHE[key] = runner
+    else:
+        CACHE_STATS["pipeline_hits"] += 1
+
+    lo = runner.row_lo
+    hi = min(runner.row_hi, runner.sp.nlat_real)
+
+    def slab(a):
+        return np.asarray(a)[..., lo:hi, :]
+
+    pres_np = np.asarray(pres, np.float32)
+    state_l = TriggerState(tt=state.tt, thc=slab(state.thc),
+                           windspeed=slab(state.windspeed),
+                           winddir=slab(state.winddir))
+    final_l, outs_l = runner.run(
+        state_l, slab(t), slab(u), slab(v), slab(lsm), slab(z), slab(std),
+        slab(pres_np) if pres_np.ndim == 3 else pres_np,
+        ci_t=None if ci is None else slab(ci))
+
+    # Gather the per-process local row blocks back to the global grid on
+    # every process (the y axis is contiguous by process and every process
+    # owns the same padded span, so a process-ordered allgather + row
+    # concatenation reassembles the globe exactly).
+    from jax.experimental import multihost_utils
+    span = runner.row_hi - runner.row_lo
+    nlat_real = runner.sp.nlat_real
+    nlon = runner.nlon
+
+    def gather(local):
+        local = np.asarray(local, np.float32)
+        buf = np.zeros(local.shape[:-2] + (span, nlon), np.float32)
+        buf[..., : local.shape[-2], :] = local
+        g = np.asarray(multihost_utils.process_allgather(buf))
+        return np.concatenate(list(g), axis=-2)[..., :nlat_real, :]
+
+    final = TriggerState(tt=final_l.tt, thc=gather(final_l.thc),
+                         windspeed=gather(final_l.windspeed),
+                         winddir=gather(final_l.winddir))
+    return final, {k: gather(o) for k, o in outs_l.items()}
+
+
 def _fill(ci):
     """``ci.filled(0)`` for masked arrays (__init__.py:225), else as-is."""
     if ci is None:
@@ -200,7 +269,14 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
                                           ring_nn=ring_nn),
         "ring", pkey, ring_nn)
 
-    if mesh is not None:
+    if jax.process_count() > 1:
+        # Multi-process launch: ALWAYS the decomposed multi-host run (a
+        # per-process single-device run would compute every step
+        # process_count times over).  ``mesh``, when given, fixes the
+        # global mesh shape.
+        final, outs = _run_multihost(pipe, mesh, grid_key, pkey, ring_nn,
+                                     state, t, u, v, lsm, z, std, pres, ci)
+    elif mesh is not None:
         from .parallel.mesh import make_mesh
         from .parallel.sharded import ShardedPipeline
         if isinstance(mesh, jax.sharding.Mesh):

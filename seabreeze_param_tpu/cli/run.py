@@ -40,6 +40,25 @@ def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
 
     from ..utils.metrics import StepMetrics
 
+    # Multi-host production mode (the reference's decomposed MPI run,
+    # UM/...F90:408-410): start the JAX distributed runtime when the
+    # standard env vars are set (no-op single-process).  api.diag then
+    # routes through the global-mesh DistributedRunner automatically;
+    # every process reads the input files, only the primary writes.
+    from ..parallel import distributed as dist
+    dist.initialize()
+    import jax
+    primary = jax.process_index() == 0
+    if not primary:
+        progress = None
+        metrics_file = None
+    if jax.process_count() > 1 and ckpt_dir:
+        import warnings
+        warnings.warn("ckpt_dir is not yet supported in multi-process "
+                      "runs (checkpoint writes are not coordinated); "
+                      "running without elastic recovery")
+        ckpt_dir = None
+
     if watchdog_s and not ckpt_dir:
         # The watchdog's abort path re-enters the unit from the last
         # checkpoint; without a checkpoint directory there is nothing to
@@ -89,12 +108,14 @@ def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
         if metrics_stream:
             metrics.add(file=os.path.basename(f_sb))
             metrics.emit()
-        meta.create_nc(np.asarray(sb_con), f_sb, "sb_con", nc_data.time)
-        # per-step sea-level temperature, under the reference's production
-        # name "thc" (the out[1] quirk — plot.py:97-99 reads it from the sb
-        # files; the reference's own test_run.py never wrote it)
-        meta.create_nc(outs["t0"], f_sb, "thc", nc_data.time)
-        written.append(f_sb)
+        if primary:
+            meta.create_nc(np.asarray(sb_con), f_sb, "sb_con", nc_data.time)
+            # per-step sea-level temperature, under the reference's
+            # production name "thc" (the out[1] quirk — plot.py:97-99 reads
+            # it from the sb files; the reference's own test_run.py never
+            # wrote it)
+            meta.create_nc(outs["t0"], f_sb, "thc", nc_data.time)
+            written.append(f_sb)
         for f in nc_data.nc.values():
             f.close()
         if progress:
@@ -151,7 +172,13 @@ Options:
                        (per-step wall time, grid-points/s; default: off)
     mesh             : device mesh for sharded execution — "auto" (all
                        local devices) or "PYxPX", e.g. --mesh=2x4
-                       (default: single device)
+                       (default: single device).  In a multi-process launch
+                       (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+                       JAX_PROCESS_ID set, one process per host) the driver
+                       always runs the decomposed multi-host pipeline over
+                       ALL processes' devices; mesh then fixes the global
+                       shape.  Every process reads the inputs; process 0
+                       writes the outputs.
     any diag kwarg   : science-parameter override, e.g. --maxdist=250
 """
 

@@ -125,25 +125,74 @@ class TriggerPipeline:
         if key in cache:
             return cache[key]
 
-        def scan_all(state, xs, lsm, z, std, pres, cdist0):
-            TRACE_STATS["traces"] += 1
+        if self.use_pallas:
+            scan_all = self._make_stacked_scan(has_ci)
+        else:
+            def scan_all(state, xs, lsm, z, std, pres, cdist0):
+                TRACE_STATS["traces"] += 1
 
-            def scan_fn(carry, x):
-                if has_ci:
-                    th, uu, vv, ci = x
-                    return self.step(carry, th, uu, vv, lsm, z, std, pres,
-                                     ci=ci)
-                th, uu, vv = x
-                return trigger_step(
-                    carry, th, uu, vv, cdist0, z, std, pres, self.params,
-                    self.nn_max, use_pallas=self.use_pallas,
-                    pallas_interpret=self.pallas_interpret)
+                def scan_fn(carry, x):
+                    if has_ci:
+                        th, uu, vv, ci = x
+                        return self.step(carry, th, uu, vv, lsm, z, std,
+                                         pres, ci=ci)
+                    th, uu, vv = x
+                    return trigger_step(
+                        carry, th, uu, vv, cdist0, z, std, pres, self.params,
+                        self.nn_max, use_pallas=self.use_pallas,
+                        pallas_interpret=self.pallas_interpret)
 
-            return jax.lax.scan(scan_fn, state, xs)
+                return jax.lax.scan(scan_fn, state, xs)
 
         runner = jax.jit(scan_all, donate_argnums=(0,)) if jit else scan_all
         cache[key] = runner
         return runner
+
+    def _make_stacked_scan(self, has_ci: bool):
+        """Production Pallas scan with in-place stacked outputs.
+
+        The fused ring/trigger kernel writes each step's three output
+        fields directly into slot t of carried (T, ·, ·) buffers
+        (``input_output_aliases`` + scalar-prefetch block index), killing
+        the 0.134 ms/step dynamic-update-slice copy the ys-stacked form
+        pays at 0.25 deg — Pallas custom-call results cannot fuse into the
+        scan's stack write, but they CAN be told to produce it directly
+        (VERDICT r4 item 4).  ``t0`` is a plain XLA fusion output, so its
+        ys-stack write fuses and stays in the scan."""
+        from ..ops.pallas.ring_kernel import stacked_tile_extents
+        from ..ops.trigger import trigger_step_stacked
+
+        def scan_all(state, xs, lsm, z, std, pres, cdist0):
+            TRACE_STATS["traces"] += 1
+            T = xs[0].shape[0]
+            nlat, nlon = xs[0].shape[1], xs[0].shape[2]
+            hp_rows, wp_cols = stacked_tile_extents(nlat, nlon, self.nn_max)
+            bufs = tuple(jnp.zeros((T, hp_rows, wp_cols), jnp.float32)
+                         for _ in range(3))
+
+            def scan_fn(carry, x):
+                st, idx, sb_b, ws_b, wd_b = carry
+                if has_ci:
+                    th, uu, vv, ci = x
+                    cdist = self.distance_field(lsm, ci)
+                else:
+                    th, uu, vv = x
+                    cdist = cdist0
+                st, out_t0, sb_b, ws_b, wd_b = trigger_step_stacked(
+                    st, th, uu, vv, cdist, z, std, pres, self.params,
+                    self.nn_max, idx, sb_b, ws_b, wd_b,
+                    pallas_interpret=self.pallas_interpret)
+                return (st, idx + 1, sb_b, ws_b, wd_b), out_t0
+
+            carry0 = (state, jnp.int32(0)) + bufs
+            (final, _, sb_b, ws_b, wd_b), t0s = jax.lax.scan(scan_fn,
+                                                             carry0, xs)
+            outs = {"sb_con": sb_b[:, :nlat, :nlon], "t0": t0s,
+                    "windspeed": ws_b[:, :nlat, :nlon],
+                    "winddir": wd_b[:, :nlat, :nlon]}
+            return final, outs
+
+        return scan_all
 
     def run(self, state: TriggerState, theta_t, u_t, v_t, lsm, z, std, pres,
             ci_t=None, *, jit: bool = True):

@@ -394,6 +394,283 @@ def _trigger_kernel(t0_hbm, cd_hbm, cdc_ref, wsn_ref, wdn_ref, wss_ref,
         tail(jnp.where(coastal_c, n_thc, jnp.float32(0.0)))
 
 
+def stacked_tile_extents(h: int, w: int, nn_max: int,
+                         tile_rows: int | None = None,
+                         tile_cols: int | None = None):
+    """Padded (hp_rows, wp_cols) extents of the ring kernel's tile grid —
+    the per-step slot shape of the stacked output buffers that
+    :func:`ring_trigger_pallas_stacked` writes in place."""
+    tile_rows, tile_cols = _default_tiles(int(nn_max), tile_rows, tile_cols)
+    th = min(tile_rows, h)
+    tw = min(tile_cols, w)
+    return -(-h // th) * th, -(-w // tw) * tw
+
+
+def _trigger_kernel_stacked(t_ref, t0_hbm, cd_hbm, cdc_ref, wsn_ref, wdn_ref,
+                            wss_ref, wds_ref, sc_ref, sbb_ref, wsb_ref,
+                            wdb_ref, out_sb, out_ws, out_wd, out_wss,
+                            out_wds, t0s, cds, hp, vc, ws, lat, done, sem, *,
+                            nn_max: int, th: int, tw: int, rows_dma: int,
+                            cols_dma: int, maxdist: float, thresh_wind: float,
+                            thresh_winddir: float, thresh_windch: float,
+                            thresh_thc: float, skip_last_row: bool):
+    """``_trigger_kernel`` with scan-buffer output: the step's three output
+    fields are written IN PLACE into slot ``t_ref[0]`` of preallocated
+    (T, ·, ·) buffers (``input_output_aliases`` + scalar-prefetch block
+    index), so the scan's stacked outputs never pay the separate
+    dynamic-update-slice copy that a Pallas custom-call result otherwise
+    cannot fuse into (the r4 0.134 ms/step stacking tax, BASELINE.md).
+    ``out_wss``/``out_wds`` carry the (h, w) wind STATE (last-row frozen),
+    which differs from the zeroed output slots under ``skip_last_row``.
+    ``sbb_ref``/``wsb_ref``/``wdb_ref`` are the aliased whole-buffer input
+    refs — never read (ANY memory space, no block fetch)."""
+    del t_ref, sbb_ref, wsb_ref, wdb_ref     # alias plumbing only
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    NN = int(nn_max)
+
+    coastal_c = jnp.abs(cdc_ref[:]) <= jnp.float32(maxdist)
+    any_coastal = jnp.any(coastal_c)
+
+    first = sc_ref[0] > 0.0
+    upd = sc_ref[1] > 0.0
+    if skip_last_row:
+        grow = (sc_ref[2] + jnp.float32(i * th)
+                + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+                .astype(jnp.float32))
+        row_ok = grow < sc_ref[3] - 1.0
+    else:
+        row_ok = jnp.full((th, tw), True)
+
+    wsn = wsn_ref[:]
+    wdn = wdn_ref[:]
+    wss = wss_ref[:]
+    wds = wds_ref[:]
+    zero = jnp.float32(0.0)
+
+    def tail(n_thc):
+        fc = first & coastal_c
+        ws_base = jnp.where(fc, wsn, wss)
+        wd_base = jnp.where(fc, wdn, wds)
+        thc_abs = jnp.abs(n_thc)
+        mws = (ws_base + wsn) * jnp.float32(0.5)
+        dws = jnp.abs(ws_base - wsn)
+        dwd = jnp.abs(
+            jnp.mod((wd_base - wdn) + jnp.float32(180.0), jnp.float32(360.0))
+            - jnp.float32(180.0))
+        cond = ((dwd < jnp.float32(thresh_winddir))
+                & (dws < jnp.float32(thresh_windch))
+                & (mws < jnp.float32(thresh_wind))
+                & (thc_abs > jnp.float32(thresh_thc)))
+        scale_wind = (jnp.float32(thresh_wind) - mws) / jnp.maximum(
+            jnp.float32(1.0), mws)
+        thc_safe = jnp.where(n_thc == 0.0, jnp.float32(1.0), n_thc)
+        scale_thc = (thc_abs - jnp.float32(thresh_thc)) / thc_safe
+        sb = jnp.where(coastal_c,
+                       jnp.where(cond, scale_thc * scale_wind, zero),
+                       _MISSING)
+        take = coastal_c & (first | upd)
+        ws_o = jnp.where(take, wsn, wss)
+        wd_o = jnp.where(take, wdn, wds)
+        out_sb[0] = jnp.where(row_ok, sb, zero)
+        out_ws[0] = jnp.where(row_ok, ws_o, zero)
+        out_wd[0] = jnp.where(row_ok, wd_o, zero)
+        out_wss[:] = jnp.where(row_ok, ws_o, wss)
+        out_wds[:] = jnp.where(row_ok, wd_o, wds)
+
+    @pl.when(jnp.logical_not(any_coastal))
+    def _skip():
+        out_sb[0] = jnp.where(row_ok, _MISSING, zero)
+        out_ws[0] = jnp.where(row_ok, wss, zero)
+        out_wd[0] = jnp.where(row_ok, wds, zero)
+        out_wss[:] = wss
+        out_wds[:] = wds
+
+    @pl.when(any_coastal)
+    def _compute():
+        t0_dma = pltpu.make_async_copy(
+            t0_hbm.at[pl.ds(i * th, rows_dma), pl.ds(j * tw, cols_dma)],
+            t0s, sem.at[0])
+        cd_dma = pltpu.make_async_copy(
+            cd_hbm.at[pl.ds(i * th, rows_dma), pl.ds(j * tw, cols_dma)],
+            cds, sem.at[1])
+        t0_dma.start()
+        cd_dma.start()
+        t0_dma.wait()
+        cd_dma.wait()
+
+        land = (cds[:] >= 0.0).astype(jnp.float32)
+        tl = t0s[:] * land
+        tss = t0s[:] - tl
+        quants = (tl, land, tss)
+        for c, q in ((0, tl), (1, land), (2, tss)):
+            hp[c] = q[:, NN:NN + tw]
+            vc[c] = q[NN:NN + th, :]
+            ws[c] = q[NN:NN + th, NN:NN + tw]
+
+        lat[0] = jnp.zeros((th, tw), jnp.float32)
+        lat[1] = jnp.ones((th, tw), jnp.float32)
+        lat[2] = jnp.zeros((th, tw), jnp.float32)
+        lat[3] = jnp.ones((th, tw), jnp.float32)
+        lat[4] = jnp.zeros((th, tw), jnp.float32)
+        done[0] = jnp.int32(0)
+
+        for nn in range(1, NN + 1):
+            @pl.when(done[0] == 0)
+            def _ring(nn=nn):
+                for c in range(3):
+                    q = quants[c]
+                    hp[c] = (hp[c] + q[:, NN - nn:NN - nn + tw]
+                             + q[:, NN + nn:NN + nn + tw])
+                    top = hp[c, NN - nn:NN - nn + th, :]
+                    bot = hp[c, NN + nn:NN + nn + th, :]
+                    left = vc[c, :, NN - nn:NN - nn + tw]
+                    right = vc[c, :, NN + nn:NN + nn + tw]
+                    ws[c] = ws[c] + top + bot + left + right
+                    vc[c] = (vc[c] + q[NN - nn:NN - nn + th, :]
+                             + q[NN + nn:NN + nn + th, :])
+                t_l, n_l, t_s = ws[0], ws[1], ws[2]
+                n_s = jnp.float32((2 * nn + 1) ** 2) - n_l
+                found = lat[4] > 0.0
+                ok = (n_l > 0.0) & (n_s > 0.0)
+                newly = ok & (~found)
+                last = newly | (~found & (nn == NN))
+                lat[0] = jnp.where(last, t_l, lat[0])
+                lat[1] = jnp.where(last, jnp.maximum(n_l, 1.0), lat[1])
+                lat[2] = jnp.where(last, t_s, lat[2])
+                lat[3] = jnp.where(last, jnp.maximum(n_s, 1.0), lat[3])
+                new_found = found | ok
+                lat[4] = new_found.astype(jnp.float32)
+                done[0] = jnp.all(new_found | ~coastal_c).astype(jnp.int32)
+
+        mul = jnp.where(cdc_ref[:] >= 0.0, jnp.float32(1.0),
+                        jnp.float32(-1.0))
+        n_thc = mul * (lat[0] / lat[1] - lat[2] / lat[3])
+        tail(jnp.where(coastal_c, n_thc, zero))
+
+
+def ring_trigger_pallas_stacked(t0_pad, cd_pad, cd_center, ws_new, wd_new,
+                                ws_state, wd_state, is_first, upd, params,
+                                nn_max: int, step_idx, sb_buf, ws_buf,
+                                wd_buf, *, row_offset=0,
+                                nlat_total: int | None = None,
+                                tile_rows: int | None = None,
+                                tile_cols: int | None = None,
+                                interpret: bool = False):
+    """Fused ring search + trigger tail with IN-PLACE stacked outputs.
+
+    Same padded-field contract as :func:`ring_trigger_pallas_padded`, plus:
+    ``step_idx`` (traced int32, the 0-based slot to write) and three
+    (T, hp_rows, wp_cols) f32 buffers sized by :func:`stacked_tile_extents`.
+    Returns ``(ws_state, wd_state, sb_buf', ws_buf', wd_buf')`` — the
+    buffers are donated into the kernel (``input_output_aliases``) and come
+    back with slot ``step_idx`` holding this step's reference output fields
+    (``seabreeze_diag_python.f90:277-280`` slots 1/3/4, last-row zeroed),
+    all other slots untouched.  Carried through a ``lax.scan``, this kills
+    the per-step stacking copy entirely.
+    """
+    NN = int(nn_max)
+    h = t0_pad.shape[0] - 2 * NN
+    w = t0_pad.shape[1] - 2 * NN
+    tile_rows, tile_cols = _default_tiles(NN, tile_rows, tile_cols)
+    th = min(tile_rows, h)
+    tw = min(tile_cols, w)
+    ni = -(-h // th)
+    nj = -(-w // tw)
+    hp_rows = ni * th
+    wp_cols = nj * tw
+    T = sb_buf.shape[0]
+    for name, buf in (("sb_buf", sb_buf), ("ws_buf", ws_buf),
+                      ("wd_buf", wd_buf)):
+        if buf.shape != (T, hp_rows, wp_cols):
+            raise ValueError(
+                f"{name}: got {buf.shape}, want {(T, hp_rows, wp_cols)} "
+                f"(stacked_tile_extents)")
+
+    rows_dma = _round_up(th + 2 * NN, 8)
+    cols_dma = _round_up(tw + 2 * NN, 128)
+    need_r = (ni - 1) * th + rows_dma
+    need_c = (nj - 1) * tw + cols_dma
+    pad_r = max(0, need_r - (h + 2 * NN))
+    pad_c = max(0, need_c - (w + 2 * NN))
+    if pad_r or pad_c:
+        t0_pad = jnp.pad(t0_pad, ((0, pad_r), (0, pad_c)))
+        cd_pad = jnp.pad(cd_pad, ((0, pad_r), (0, pad_c)),
+                         constant_values=_SENTINEL)
+    pads = ((0, hp_rows - h), (0, wp_cols - w))
+    if hp_rows != h or wp_cols != w:
+        cd_center = jnp.pad(cd_center, pads, constant_values=_SENTINEL)
+        ws_new = jnp.pad(ws_new, pads)
+        wd_new = jnp.pad(wd_new, pads)
+        ws_state = jnp.pad(ws_state, pads)
+        wd_state = jnp.pad(wd_state, pads)
+
+    nlat_total = h if nlat_total is None else nlat_total
+    scal = jnp.stack([
+        jnp.asarray(is_first, jnp.float32),
+        jnp.asarray(upd, jnp.float32),
+        jnp.asarray(row_offset, jnp.float32),
+        jnp.float32(nlat_total)])
+
+    blk = pl.BlockSpec((th, tw), lambda i, j, t: (i, j),
+                       memory_space=pltpu.VMEM)
+    stk = pl.BlockSpec((1, th, tw), lambda i, j, t: (t[0], i, j),
+                       memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out2 = jax.ShapeDtypeStruct((hp_rows, wp_cols), jnp.float32)
+    buf_shape = jax.ShapeDtypeStruct((T, hp_rows, wp_cols), jnp.float32)
+    # flattened-input indexing INCLUDES the scalar-prefetch operand:
+    # 0=step_idx, 1=t0_pad, 2=cd_pad, 3=cd_center, 4..7=wind blocks,
+    # 8=scalars, 9..11=the aliased buffers -> outputs 0..2.
+    sb_buf, ws_buf, wd_buf, ws_o, wd_o = pl.pallas_call(
+        functools.partial(
+            _trigger_kernel_stacked, nn_max=NN, th=th, tw=tw,
+            rows_dma=rows_dma, cols_dma=cols_dma,
+            maxdist=float(params.maxdist),
+            thresh_wind=float(params.thresh_wind),
+            thresh_winddir=float(params.thresh_winddir),
+            thresh_windch=float(params.thresh_windch),
+            thresh_thc=float(params.thresh_thc),
+            skip_last_row=bool(params.skip_last_lat_row)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ni, nj),
+            in_specs=[
+                any_spec,                            # t0_pad
+                any_spec,                            # cd_pad
+                blk,                                 # cd_center
+                blk, blk, blk, blk,                  # wsn, wdn, wss, wds
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+                any_spec, any_spec, any_spec,        # aliased buffers
+            ],
+            out_specs=(stk, stk, stk, blk, blk),
+            scratch_shapes=[
+                pltpu.VMEM((rows_dma, cols_dma), jnp.float32),    # t0 strip
+                pltpu.VMEM((rows_dma, cols_dma), jnp.float32),    # cd strip
+                pltpu.VMEM((3, rows_dma, tw), jnp.float32),       # hp
+                pltpu.VMEM((3, th, cols_dma), jnp.float32),       # vc
+                pltpu.VMEM((3, th, tw), jnp.float32),             # ws
+                pltpu.VMEM((5, th, tw), jnp.float32),             # latches
+                pltpu.SMEM((1,), jnp.int32),                      # done flag
+                pltpu.SemaphoreType.DMA((2,)),
+            ]),
+        out_shape=(buf_shape, buf_shape, buf_shape, out2, out2),
+        input_output_aliases={9: 0, 10: 1, 11: 2},
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 8 * NN * hp_rows * wp_cols,
+            bytes_accessed=8 * (h + 2 * NN) * (w + 2 * NN)
+            + 9 * 4 * hp_rows * wp_cols,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(step_idx, jnp.int32), (1,)),
+      jnp.asarray(t0_pad, jnp.float32), jnp.asarray(cd_pad, jnp.float32),
+      jnp.asarray(cd_center, jnp.float32), jnp.asarray(ws_new, jnp.float32),
+      jnp.asarray(wd_new, jnp.float32), jnp.asarray(ws_state, jnp.float32),
+      jnp.asarray(wd_state, jnp.float32), scal, sb_buf, ws_buf, wd_buf)
+    return ws_o[:h, :w], wd_o[:h, :w], sb_buf, ws_buf, wd_buf
+
+
 def ring_trigger_pallas_padded(t0_pad, cd_pad, cd_center, ws_new, wd_new,
                                ws_state, wd_state, is_first, upd, params,
                                nn_max: int, *, row_offset=0,

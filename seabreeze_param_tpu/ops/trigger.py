@@ -174,6 +174,51 @@ def trigger_core(state: TriggerState, t0, cdist, ws_new, wd_new, t0_pad,
     return new_state, outputs
 
 
+def trigger_step_stacked(state: TriggerState, theta, u, v, cdist, z, std,
+                         pres, params: Params, nn_max: int, step_idx,
+                         sb_buf, ws_buf, wd_buf, *, smod=None,
+                         pallas_interpret: bool = False):
+    """One trigger timestep writing its output slots IN PLACE into
+    preallocated (T, ·, ·) scan buffers (single-device Pallas production
+    path; see ``ops.pallas.ring_kernel.ring_trigger_pallas_stacked``).
+
+    Semantics are identical to :func:`trigger_step` with
+    ``use_pallas=True``; the only difference is where the stacked outputs
+    land — slot ``step_idx`` of the carried buffers instead of per-step
+    (h, w) arrays that ``lax.scan`` must copy into its ys stack (the r4
+    0.134 ms/step stacking tax, BASELINE.md).  Returns
+    ``(new_state, out_t0, sb_buf, ws_buf, wd_buf)``; ``out_t0`` is
+    returned per-step (pure XLA fusion output — its ys-stack write fuses).
+    """
+    from .indexing import pad2d
+    from .pallas.ring_kernel import ring_trigger_pallas_stacked
+
+    if smod is None:
+        smod = sigmoid_weight(std)
+    t0 = sea_level_temperature(theta, z, smod)
+    cdist = jnp.asarray(cdist, jnp.float32)
+    ws_new, wd_new = wind_at_level(u, v, pres, params.target_plev_pa)
+    t0_pad = pad2d(t0, nn_max, nn_max, exact_lon=params.exact_lon_indexing)
+    cd_pad = pad2d(cdist, nn_max, nn_max,
+                   exact_lon=params.exact_lon_indexing)
+    is_first = state.tt < 2
+    upd = jnp.mod(state.tt.astype(jnp.float32) * params.timestep_seconds,
+                  params.target_time_seconds) < jnp.float32(1.0e-4)
+    ws_out, wd_out, sb_buf, ws_buf, wd_buf = ring_trigger_pallas_stacked(
+        t0_pad, cd_pad, cdist, ws_new, wd_new, state.windspeed,
+        state.winddir, is_first, upd, params, nn_max, step_idx,
+        sb_buf, ws_buf, wd_buf, interpret=pallas_interpret)
+    if params.skip_last_lat_row:
+        nlat = t0.shape[0]
+        row_ok = (jnp.arange(nlat) < nlat - 1)[:, None]
+        out_t0 = jnp.where(row_ok, t0, jnp.float32(0.0))
+    else:
+        out_t0 = t0
+    new_state = TriggerState(tt=state.tt + 1, thc=out_t0,
+                             windspeed=ws_out, winddir=wd_out)
+    return new_state, out_t0, sb_buf, ws_buf, wd_buf
+
+
 def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,
                  params: Params, nn_max: int, *, smod=None,
                  axis_names: tuple[str, ...] = (), ring_pad_fn=None,

@@ -216,3 +216,56 @@ def test_trigger_step_pallas_matches_xla(case, tt, request):
     np.testing.assert_array_equal(np.asarray(got_out["windspeed"])[-1], 0.0)
     np.testing.assert_array_equal(np.asarray(got_state.windspeed)[-1],
                                   np.asarray(state.windspeed)[-1])
+
+
+@pytest.mark.parametrize("with_ci", [True, False])
+def test_stacked_scan_runner_matches_xla(small_case, with_ci):
+    """The production Pallas SCAN (in-place stacked outputs via
+    input_output_aliases + scalar-prefetch slot index,
+    ``TriggerPipeline._make_stacked_scan``) vs the plain XLA ys-stacked
+    scan: every per-step output slot and the final state must agree over a
+    multi-step run that crosses the 6-hourly wind-refresh cadence
+    (tt=14..17)."""
+    import jax.numpy as jnp
+    from seabreeze_param_tpu.core.state import TriggerState
+    from seabreeze_param_tpu.models.pipeline import TriggerPipeline
+
+    c = request_case = small_case
+    nsteps = 3
+    nlat, nlon = len(c["lat"]), len(c["lon"])
+    grid = Grid(lon=c["lon"], lat=c["lat"])
+    rng = np.random.default_rng(5)
+    thc0 = (290 + rng.standard_normal((nlat, nlon))).astype(np.float32)
+    ws0 = (5 + rng.random((nlat, nlon))).astype(np.float32)
+    wd0 = (360 * rng.random((nlat, nlon)) - 180).astype(np.float32)
+
+    def state0():
+        # fresh buffers per run: the jitted runner donates its state arg
+        return TriggerState(tt=jnp.int32(14), thc=jnp.asarray(thc0),
+                            windspeed=jnp.asarray(ws0),
+                            winddir=jnp.asarray(wd0))
+
+    ci_t = c["ci_t"][:nsteps] if with_ci else None
+    args = (c["theta_t"][:nsteps], c["u_t"][:nsteps], c["v_t"][:nsteps],
+            c["lsm"], c["z"], c["std"], c["p"])
+
+    ref_state, ref_out = TriggerPipeline(grid).run(state0(), *args,
+                                                   ci_t=ci_t)
+    pipe = TriggerPipeline(grid, use_pallas=True, pallas_interpret=True)
+    got_state, got_out = pipe.run(state0(), *args, ci_t=ci_t)
+
+    for key in ("sb_con", "t0", "windspeed", "winddir"):
+        g, r = np.asarray(got_out[key]), np.asarray(ref_out[key])
+        assert g.shape == r.shape == (nsteps, nlat, nlon), key
+        miss = r == np.float32(2.0e20)
+        np.testing.assert_array_equal(g == np.float32(2.0e20), miss,
+                                      err_msg=key)
+        np.testing.assert_allclose(g[~miss], r[~miss], rtol=2e-5, atol=2e-4,
+                                   err_msg=key)
+    assert int(got_state.tt) == int(ref_state.tt)
+    np.testing.assert_allclose(np.asarray(got_state.thc),
+                               np.asarray(ref_state.thc), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_state.windspeed),
+                                  np.asarray(ref_state.windspeed))
+    np.testing.assert_array_equal(np.asarray(got_state.winddir),
+                                  np.asarray(ref_state.winddir))

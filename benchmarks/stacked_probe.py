@@ -61,40 +61,44 @@ def main():
     statics = (jnp.asarray(lsm), jnp.asarray(z), jnp.asarray(std),
                jnp.asarray(pres))
 
-    def step_ys(carry, x):
+    def step_ys(carry, x, statics):
         th, uu, vv, cci = x
         return pipe.step(carry, th, uu, vv, *statics, ci=cci)
 
-    def scan_state_only(st, xs):
+    def scan_state_only(st, xs, statics):
         def fn(carry, x):
             s, chk = carry
-            s2, outs = step_ys(s, x)
+            s2, outs = step_ys(s, x, statics)
             chk = chk + jnp.sum(jnp.where(jnp.abs(outs["sb_con"]) < 1e19,
                                           outs["sb_con"], 0.0))
             return (s2, chk), None
         (s2, chk), _ = jax.lax.scan(fn, (st, jnp.float32(0)), xs)
         return s2, chk
 
-    def scan_ys(st, xs):
-        s2, outs = jax.lax.scan(step_ys, st, xs)
+    def scan_ys(st, xs, statics):
+        s2, outs = jax.lax.scan(
+            lambda c, x: step_ys(c, x, statics), st, xs)
         chk = sum(jnp.sum(jnp.where(jnp.abs(o) < 1e19, o, 0.0))
                   for o in outs.values())
         return s2, chk
 
     runner = pipe._get_runner(True, jit=False)
 
-    def scan_inplace(st, xs):
+    def scan_inplace(st, xs, statics):
         s2, outs = runner(st, xs, *statics, None)
         chk = sum(jnp.sum(jnp.where(jnp.abs(o) < 1e19, o, 0.0))
                   for o in outs.values())
         return s2, chk
 
     def timed(scan):
+        # xs/statics ride as jit ARGUMENTS — closed-over device arrays
+        # would embed as HLO constants (530 MB of u/v at 0.25 deg) and
+        # stall the remote compile path for tens of minutes.
         @jax.jit
-        def body(state):
+        def body(state, xs, statics):
             def one_pass(carry, _):
                 s, chk = carry
-                s2, c2 = scan(s, xs)
+                s2, c2 = scan(s, xs, statics)
                 return (s2, chk + c2), None
             (final, chk), _ = jax.lax.scan(
                 one_pass, (state, jnp.float32(0)), None,
@@ -102,12 +106,12 @@ def main():
             return chk
 
         state = TriggerState.zeros((nlat, nlon))
-        float(body(state))           # compile + warm
+        float(body(state, xs, statics))           # compile + warm
         best = np.inf
         for _ in range(args.repeats):
             state = TriggerState.zeros((nlat, nlon))
             t0 = time.perf_counter()
-            float(body(state))
+            float(body(state, xs, statics))
             best = min(best, time.perf_counter() - t0)
         return best / (args.steps * args.passes)
 
@@ -115,8 +119,8 @@ def main():
                        ("ys-stacked", scan_ys),
                        ("in-place ", scan_inplace)):
         t = timed(scan)
-        print(f"{name}: {t*1e3:7.3f} ms/step  "
-              f"({nlat*nlon/t/1e9:.2f}e9 pts/s)")
+        sys.stdout.write(f"{name}: {t*1e3:7.3f} ms/step  "
+              f"({nlat*nlon/t/1e9:.2f}e9 pts/s)\n"); sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -193,10 +193,13 @@ def cli(argv=None):
             sys.exit(HELP)
         if key.lower() == "help":
             sys.exit(HELP)
-        try:
-            value = float(value)
-        except ValueError:
-            pass
+        if value.lower() in ("true", "false"):
+            value = value.lower() == "true"
+        else:
+            try:
+                value = float(value)
+            except ValueError:
+                pass
         kwargs[key.lower()] = value
     main(**kwargs)
 

@@ -149,17 +149,34 @@ class TriggerPipeline:
         return runner
 
     def _make_stacked_scan(self, has_ci: bool):
-        """Production Pallas scan with in-place stacked outputs.
+        """Production Pallas scan: compacted launch + in-place stacked
+        outputs.
 
-        The fused ring/trigger kernel writes each step's three output
-        fields directly into slot t of carried (T, ·, ·) buffers
-        (``input_output_aliases`` + scalar-prefetch block index), killing
-        the 0.134 ms/step dynamic-update-slice copy the ys-stacked form
-        pays at 0.25 deg — Pallas custom-call results cannot fuse into the
-        scan's stack write, but they CAN be told to produce it directly
-        (VERDICT r4 item 4).  ``t0`` is a plain XLA fusion output, so its
+        Two structural wins over the plain ys-stacked scan:
+
+        * the fused ring/trigger kernel writes each step's three output
+          fields directly into slot t of carried (T, ·, ·) buffers
+          (``input_output_aliases`` + scalar-prefetch block index) — no
+          per-step dynamic-update-slice copy of the Pallas outputs;
+        * only the EVER-coastal tiles launch (1-D dynamic grid over a
+          compacted tile list): on a global 0.1-deg grid ~95% of cells are
+          open ocean/continental interior, and the dense launch paid a
+          measured 1.14 us/tile of fixed overhead there (0.96 ms/step over
+          841 tiles).
+
+        Correctness of skipping relies on two invariants, both enforced
+        here: the launch set is MONOTONE over the scan (a tile once
+        coastal stays launched even after sea ice moves the band away —
+        its state may have been updated and must keep being managed), and
+        the buffers are PRE-FILLED with the never-coastal default
+        (MISSING-masked sb_con, passthrough initial wind — ``take_wind``
+        requires a coastal cell, so never-coastal cells provably never
+        change state).  ``t0`` is a plain XLA fusion output, so its
         ys-stack write fuses and stays in the scan."""
-        from ..ops.pallas.ring_kernel import stacked_tile_extents
+        from ..core.params import MISSING_VALUE
+        from ..ops.pallas.ring_kernel import (coastal_tile_pred,
+                                              stacked_tile_extents,
+                                              _default_tiles)
         from ..ops.trigger import trigger_step_stacked
 
         def scan_all(state, xs, lsm, z, std, pres, cdist0):
@@ -167,26 +184,59 @@ class TriggerPipeline:
             T = xs[0].shape[0]
             nlat, nlon = xs[0].shape[1], xs[0].shape[2]
             hp_rows, wp_cols = stacked_tile_extents(nlat, nlon, self.nn_max)
-            bufs = tuple(jnp.zeros((T, hp_rows, wp_cols), jnp.float32)
-                         for _ in range(3))
+            tr, tc = _default_tiles(self.nn_max, None, None)
+            th_t, tw_t = min(tr, nlat), min(tc, nlon)
+            n_tiles_total = (hp_rows // th_t) * (wp_cols // tw_t)
+
+            def pad_grid(a, fill=0.0):
+                return jnp.pad(a, ((0, hp_rows - nlat), (0, wp_cols - nlon)),
+                               constant_values=jnp.float32(fill))
+
+            # Pre-fill the output buffers with the never-coastal default:
+            # row_ok-masked MISSING for sb_con, row_ok-masked initial wind
+            # for the state slots (the same bytes a zeros-init would have
+            # written — the default is free).
+            if self.params.skip_last_lat_row:
+                row_ok = (jnp.arange(hp_rows) < nlat - 1)[:, None]
+            else:
+                row_ok = (jnp.arange(hp_rows) < nlat)[:, None]
+            zero = jnp.float32(0.0)
+            sb_b = jnp.broadcast_to(
+                jnp.where(row_ok, MISSING_VALUE, zero),
+                (T, hp_rows, wp_cols))
+            ws_b = jnp.broadcast_to(
+                jnp.where(row_ok, pad_grid(state.windspeed), zero),
+                (T, hp_rows, wp_cols))
+            wd_b = jnp.broadcast_to(
+                jnp.where(row_ok, pad_grid(state.winddir), zero),
+                (T, hp_rows, wp_cols))
 
             def scan_fn(carry, x):
-                st, idx, sb_b, ws_b, wd_b = carry
+                st, idx, ever, sb_b, ws_b, wd_b = carry
                 if has_ci:
                     th, uu, vv, ci = x
                     cdist = self.distance_field(lsm, ci)
                 else:
                     th, uu, vv = x
                     cdist = cdist0
+                # monotone ever-coastal launch set
+                pred = coastal_tile_pred(
+                    pad_grid(cdist, fill=12000.0), self.params.maxdist,
+                    th_t, tw_t)
+                ever = ever | pred
+                ids = jnp.nonzero(ever, size=n_tiles_total,
+                                  fill_value=0)[0].astype(jnp.int32)
+                n = jnp.sum(ever).astype(jnp.int32)
                 st, out_t0, sb_b, ws_b, wd_b = trigger_step_stacked(
                     st, th, uu, vv, cdist, z, std, pres, self.params,
-                    self.nn_max, idx, sb_b, ws_b, wd_b,
+                    self.nn_max, idx, sb_b, ws_b, wd_b, ids, n,
                     pallas_interpret=self.pallas_interpret)
-                return (st, idx + 1, sb_b, ws_b, wd_b), out_t0
+                return (st, idx + 1, ever, sb_b, ws_b, wd_b), out_t0
 
-            carry0 = (state, jnp.int32(0)) + bufs
-            (final, _, sb_b, ws_b, wd_b), t0s = jax.lax.scan(scan_fn,
-                                                             carry0, xs)
+            ever0 = jnp.zeros((n_tiles_total,), bool)
+            carry0 = (state, jnp.int32(0), ever0, sb_b, ws_b, wd_b)
+            (final, _, _, sb_b, ws_b, wd_b), t0s = jax.lax.scan(
+                scan_fn, carry0, xs)
             outs = {"sb_con": sb_b[:, :nlat, :nlon], "t0": t0s,
                     "windspeed": ws_b[:, :nlat, :nlon],
                     "winddir": wd_b[:, :nlat, :nlon]}

@@ -406,27 +406,48 @@ def stacked_tile_extents(h: int, w: int, nn_max: int,
     return -(-h // th) * th, -(-w // tw) * tw
 
 
-def _trigger_kernel_stacked(t_ref, t0_hbm, cd_hbm, cdc_ref, wsn_ref, wdn_ref,
-                            wss_ref, wds_ref, sc_ref, sbb_ref, wsb_ref,
-                            wdb_ref, out_sb, out_ws, out_wd, out_wss,
-                            out_wds, t0s, cds, hp, vc, ws, lat, done, sem, *,
-                            nn_max: int, th: int, tw: int, rows_dma: int,
-                            cols_dma: int, maxdist: float, thresh_wind: float,
+def coastal_tile_pred(cd_center_padded, maxdist: float, th: int, tw: int):
+    """Per-tile coastal predicate on a tile-grid-padded (hp_rows, wp_cols)
+    signed-distance field: True where the tile contains any |cd| <=
+    maxdist cell.  Returns a flat (ni*nj,) bool vector in row-major tile
+    order — the launch set of the compacted kernel."""
+    hp_rows, wp_cols = cd_center_padded.shape
+    ni, nj = hp_rows // th, wp_cols // tw
+    c = jnp.abs(cd_center_padded) <= jnp.float32(maxdist)
+    return jnp.any(c.reshape(ni, th, nj, tw), axis=(1, 3)).reshape(-1)
+
+
+def _trigger_kernel_stacked(ids_ref, t_ref, t0_hbm, cd_hbm, cdc_ref,
+                            wsn_ref, wdn_ref, wss_ref, wds_ref, sc_ref,
+                            sbb_ref, wsb_ref, wdb_ref, out_sb, out_ws,
+                            out_wd, out_wss, out_wds, t0s, cds, hp, vc, ws,
+                            lat, done, sem, *, nn_max: int, th: int,
+                            tw: int, nj: int, rows_dma: int, cols_dma: int,
+                            maxdist: float, thresh_wind: float,
                             thresh_winddir: float, thresh_windch: float,
                             thresh_thc: float, skip_last_row: bool):
-    """``_trigger_kernel`` with scan-buffer output: the step's three output
-    fields are written IN PLACE into slot ``t_ref[0]`` of preallocated
-    (T, ·, ·) buffers (``input_output_aliases`` + scalar-prefetch block
-    index), so the scan's stacked outputs never pay the separate
-    dynamic-update-slice copy that a Pallas custom-call result otherwise
-    cannot fuse into (the r4 0.134 ms/step stacking tax, BASELINE.md).
-    ``out_wss``/``out_wds`` carry the (h, w) wind STATE (last-row frozen),
-    which differs from the zeroed output slots under ``skip_last_row``.
-    ``sbb_ref``/``wsb_ref``/``wdb_ref`` are the aliased whole-buffer input
-    refs — never read (ANY memory space, no block fetch)."""
+    """``_trigger_kernel`` restructured for the COMPACTED stacked launch:
+
+    * 1-D dynamic grid over the ever-coastal tile list only (``ids_ref``
+      scalar-prefetched; tile g is row-major id ``ids_ref[g]``) — the
+      ~95% of a global 0.1-deg grid that is open ocean/interior never
+      launches at all (measured 1.14 us of fixed per-tile overhead x 841
+      tiles = 0.96 ms/step of pure skip cost in the dense form);
+    * the step's three output fields land IN PLACE in slot ``t_ref[0]``
+      of preallocated (T, ., .) buffers (``input_output_aliases`` +
+      scalar-prefetch block index) — no ys-stack copy;
+    * the carried wind STATE is updated in place too (``wss``/``wds``
+      blocks aliased to ``out_wss``/``out_wds``): unlaunched tiles keep
+      their state bits untouched, which IS the trigger's own semantics —
+      ``take_wind`` requires a coastal cell, so never-coastal tiles never
+      change state (models/pipeline._make_stacked_scan pre-fills the
+      output buffers with exactly that passthrough default).
+    """
     del t_ref, sbb_ref, wsb_ref, wdb_ref     # alias plumbing only
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    g = pl.program_id(0)
+    tile = ids_ref[g]
+    i = tile // nj
+    j = tile - i * nj
     NN = int(nn_max)
 
     coastal_c = jnp.abs(cdc_ref[:]) <= jnp.float32(maxdist)
@@ -435,7 +456,7 @@ def _trigger_kernel_stacked(t_ref, t0_hbm, cd_hbm, cdc_ref, wsn_ref, wdn_ref,
     first = sc_ref[0] > 0.0
     upd = sc_ref[1] > 0.0
     if skip_last_row:
-        grow = (sc_ref[2] + jnp.float32(i * th)
+        grow = (sc_ref[2] + jnp.float32(th) * i.astype(jnp.float32)
                 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
                 .astype(jnp.float32))
         row_ok = grow < sc_ref[3] - 1.0
@@ -480,6 +501,9 @@ def _trigger_kernel_stacked(t_ref, t0_hbm, cd_hbm, cdc_ref, wsn_ref, wdn_ref,
 
     @pl.when(jnp.logical_not(any_coastal))
     def _skip():
+        # A tile in the ever-coastal set whose band moved away this step
+        # (sea ice): reference semantics degenerate to MISSING sb_con +
+        # state passthrough.
         out_sb[0] = jnp.where(row_ok, _MISSING, zero)
         out_ws[0] = jnp.where(row_ok, wss, zero)
         out_wd[0] = jnp.where(row_ok, wds, zero)
@@ -552,22 +576,32 @@ def _trigger_kernel_stacked(t_ref, t0_hbm, cd_hbm, cdc_ref, wsn_ref, wdn_ref,
 def ring_trigger_pallas_stacked(t0_pad, cd_pad, cd_center, ws_new, wd_new,
                                 ws_state, wd_state, is_first, upd, params,
                                 nn_max: int, step_idx, sb_buf, ws_buf,
-                                wd_buf, *, row_offset=0,
+                                wd_buf, tile_ids, n_tiles, *, row_offset=0,
                                 nlat_total: int | None = None,
                                 tile_rows: int | None = None,
                                 tile_cols: int | None = None,
                                 interpret: bool = False):
-    """Fused ring search + trigger tail with IN-PLACE stacked outputs.
+    """Fused ring search + trigger tail: COMPACTED launch, IN-PLACE stacked
+    outputs, in-place state update.
 
     Same padded-field contract as :func:`ring_trigger_pallas_padded`, plus:
-    ``step_idx`` (traced int32, the 0-based slot to write) and three
-    (T, hp_rows, wp_cols) f32 buffers sized by :func:`stacked_tile_extents`.
-    Returns ``(ws_state, wd_state, sb_buf', ws_buf', wd_buf')`` — the
-    buffers are donated into the kernel (``input_output_aliases``) and come
-    back with slot ``step_idx`` holding this step's reference output fields
-    (``seabreeze_diag_python.f90:277-280`` slots 1/3/4, last-row zeroed),
-    all other slots untouched.  Carried through a ``lax.scan``, this kills
-    the per-step stacking copy entirely.
+
+    * ``step_idx`` — traced int32, the 0-based (T, ., .) slot to write;
+    * ``sb_buf``/``ws_buf``/``wd_buf`` — (T, hp_rows, wp_cols) f32 buffers
+      sized by :func:`stacked_tile_extents`, donated in
+      (``input_output_aliases``); slot ``step_idx`` of LAUNCHED tiles is
+      overwritten, everything else keeps its prior contents — the caller
+      pre-fills the buffers with the non-coastal default (MISSING-masked
+      sb, passthrough wind; see ``models.pipeline._make_stacked_scan``);
+    * ``tile_ids`` — (ni*nj,) int32 row-major tile ids; the first
+      ``n_tiles`` entries are the launch set (the EVER-coastal tiles — the
+      set must be monotone over a scan so unlaunched tiles provably carry
+      unchanged state);
+    * ``n_tiles`` — traced int32 dynamic grid length.
+
+    Returns ``(ws_state', wd_state', sb_buf', ws_buf', wd_buf')``; the
+    wind state arrays are ALSO updated in place (aliased), with unlaunched
+    tiles passing through untouched.
     """
     NN = int(nn_max)
     h = t0_pad.shape[0] - 2 * NN
@@ -612,19 +646,26 @@ def ring_trigger_pallas_stacked(t0_pad, cd_pad, cd_center, ws_new, wd_new,
         jnp.asarray(row_offset, jnp.float32),
         jnp.float32(nlat_total)])
 
-    blk = pl.BlockSpec((th, tw), lambda i, j, t: (i, j),
-                       memory_space=pltpu.VMEM)
-    stk = pl.BlockSpec((1, th, tw), lambda i, j, t: (t[0], i, j),
-                       memory_space=pltpu.VMEM)
+    def tile_ij(g, ids, t):
+        del t
+        return (ids[g] // nj, ids[g] % nj)
+
+    blk = pl.BlockSpec((th, tw), tile_ij, memory_space=pltpu.VMEM)
+    stk = pl.BlockSpec(
+        (1, th, tw),
+        lambda g, ids, t: (t[0], ids[g] // nj, ids[g] % nj),
+        memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out2 = jax.ShapeDtypeStruct((hp_rows, wp_cols), jnp.float32)
     buf_shape = jax.ShapeDtypeStruct((T, hp_rows, wp_cols), jnp.float32)
-    # flattened-input indexing INCLUDES the scalar-prefetch operand:
-    # 0=step_idx, 1=t0_pad, 2=cd_pad, 3=cd_center, 4..7=wind blocks,
-    # 8=scalars, 9..11=the aliased buffers -> outputs 0..2.
+    # flattened-input indexing INCLUDES the scalar-prefetch operands:
+    # 0=tile_ids, 1=step_idx, 2=t0_pad, 3=cd_pad, 4=cd_center, 5=wsn,
+    # 6=wdn, 7=wss, 8=wds, 9=scalars, 10..12=the aliased stacked buffers.
+    # Aliases: buffers -> stacked outputs 0..2; wind STATE blocks -> state
+    # outputs 3..4 (in-place update; unlaunched tiles pass through).
     sb_buf, ws_buf, wd_buf, ws_o, wd_o = pl.pallas_call(
         functools.partial(
-            _trigger_kernel_stacked, nn_max=NN, th=th, tw=tw,
+            _trigger_kernel_stacked, nn_max=NN, th=th, tw=tw, nj=nj,
             rows_dma=rows_dma, cols_dma=cols_dma,
             maxdist=float(params.maxdist),
             thresh_wind=float(params.thresh_wind),
@@ -633,8 +674,8 @@ def ring_trigger_pallas_stacked(t0_pad, cd_pad, cd_center, ws_new, wd_new,
             thresh_thc=float(params.thresh_thc),
             skip_last_row=bool(params.skip_last_lat_row)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(ni, nj),
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
             in_specs=[
                 any_spec,                            # t0_pad
                 any_spec,                            # cd_pad
@@ -655,7 +696,7 @@ def ring_trigger_pallas_stacked(t0_pad, cd_pad, cd_center, ws_new, wd_new,
                 pltpu.SemaphoreType.DMA((2,)),
             ]),
         out_shape=(buf_shape, buf_shape, buf_shape, out2, out2),
-        input_output_aliases={9: 0, 10: 1, 11: 2},
+        input_output_aliases={10: 0, 11: 1, 12: 2, 7: 3, 8: 4},
         cost_estimate=pl.CostEstimate(
             flops=3 * 8 * NN * hp_rows * wp_cols,
             bytes_accessed=8 * (h + 2 * NN) * (w + 2 * NN)
@@ -663,7 +704,8 @@ def ring_trigger_pallas_stacked(t0_pad, cd_pad, cd_center, ws_new, wd_new,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.reshape(jnp.asarray(step_idx, jnp.int32), (1,)),
+    )(jnp.asarray(tile_ids, jnp.int32),
+      jnp.reshape(jnp.asarray(step_idx, jnp.int32), (1,)),
       jnp.asarray(t0_pad, jnp.float32), jnp.asarray(cd_pad, jnp.float32),
       jnp.asarray(cd_center, jnp.float32), jnp.asarray(ws_new, jnp.float32),
       jnp.asarray(wd_new, jnp.float32), jnp.asarray(ws_state, jnp.float32),

@@ -176,17 +176,21 @@ def trigger_core(state: TriggerState, t0, cdist, ws_new, wd_new, t0_pad,
 
 def trigger_step_stacked(state: TriggerState, theta, u, v, cdist, z, std,
                          pres, params: Params, nn_max: int, step_idx,
-                         sb_buf, ws_buf, wd_buf, *, smod=None,
-                         pallas_interpret: bool = False):
+                         sb_buf, ws_buf, wd_buf, tile_ids, n_tiles, *,
+                         smod=None, pallas_interpret: bool = False):
     """One trigger timestep writing its output slots IN PLACE into
-    preallocated (T, ·, ·) scan buffers (single-device Pallas production
-    path; see ``ops.pallas.ring_kernel.ring_trigger_pallas_stacked``).
+    preallocated (T, ·, ·) scan buffers, launching ONLY the ever-coastal
+    tiles (single-device Pallas production path; see
+    ``ops.pallas.ring_kernel.ring_trigger_pallas_stacked``).
 
     Semantics are identical to :func:`trigger_step` with
-    ``use_pallas=True``; the only difference is where the stacked outputs
+    ``use_pallas=True``; the differences are where the stacked outputs
     land — slot ``step_idx`` of the carried buffers instead of per-step
-    (h, w) arrays that ``lax.scan`` must copy into its ys stack (the r4
-    0.134 ms/step stacking tax, BASELINE.md).  Returns
+    ys-stack copies — and that non-coastal tiles never launch (their slot
+    contents are the pre-filled defaults, their state passes through
+    untouched — exactly the trigger's own semantics).  ``tile_ids`` /
+    ``n_tiles`` come from the scan's monotone ever-coastal set
+    (``models.pipeline._make_stacked_scan``).  Returns
     ``(new_state, out_t0, sb_buf, ws_buf, wd_buf)``; ``out_t0`` is
     returned per-step (pure XLA fusion output — its ys-stack write fuses).
     """
@@ -207,7 +211,8 @@ def trigger_step_stacked(state: TriggerState, theta, u, v, cdist, z, std,
     ws_out, wd_out, sb_buf, ws_buf, wd_buf = ring_trigger_pallas_stacked(
         t0_pad, cd_pad, cdist, ws_new, wd_new, state.windspeed,
         state.winddir, is_first, upd, params, nn_max, step_idx,
-        sb_buf, ws_buf, wd_buf, interpret=pallas_interpret)
+        sb_buf, ws_buf, wd_buf, tile_ids, n_tiles,
+        interpret=pallas_interpret)
     if params.skip_last_lat_row:
         nlat = t0.shape[0]
         row_ok = (jnp.arange(nlat) < nlat - 1)[:, None]

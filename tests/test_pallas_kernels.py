@@ -269,3 +269,78 @@ def test_stacked_scan_runner_matches_xla(small_case, with_ci):
                                   np.asarray(ref_state.windspeed))
     np.testing.assert_array_equal(np.asarray(got_state.winddir),
                                   np.asarray(ref_state.winddir))
+
+
+def test_stacked_compact_multi_tile_moving_coast():
+    """Compacted-launch correctness on a multi-tile grid where some tiles
+    have NO coastal cell (never launch -> pre-filled defaults + state
+    passthrough) and a tile BECOMES coastal mid-run when sea ice appears
+    (the monotone ever-coastal set must pick it up and keep it).  Full
+    parity against the XLA scan."""
+    import jax.numpy as jnp
+    from seabreeze_param_tpu.core.state import TriggerState
+    from seabreeze_param_tpu.models.pipeline import TriggerPipeline
+
+    F = np.float32
+    nlat, nlon, nlev, nsteps = 64, 512, 3, 4
+    # 4 column-tiles of 128.  Coastlines: the continent edge at x=20
+    # (tile 0) and the index-periodic wrap seam at x=0/511 (tiles 0+3 —
+    # the reference's stencils wrap in index space, so the regional
+    # domain's east/west edges read as coast).  Tiles 1 and 2 are far
+    # beyond 2*maxdist -> never coastal... until step 2, when sea ice
+    # appears at x ~ 300 and creates a new ice coastline in tile 2.
+    lat = np.linspace(20.0, -19.7, nlat).astype(F)
+    lon = np.linspace(0.0, 100.0, nlon, endpoint=False).astype(F)
+    rng = np.random.default_rng(9)
+    x = np.arange(nlon)[None, :].repeat(nlat, 0)
+    lsm = (x < 20).astype(F) * (0.6 + 0.4 * rng.random((nlat, nlon))).astype(F)
+    ci_t = np.zeros((nsteps, nlat, nlon), F)
+    ci_t[2:, :, 300:310] = 0.9          # new ice coastline, tile 2
+    z = (500.0 * lsm * rng.random((nlat, nlon))).astype(F)
+    std = (90.0 * lsm * rng.random((nlat, nlon))).astype(F)
+    p = np.array([100000.0, 85000.0, 70000.0], F)
+    theta = (288.0 + 6.0 * rng.standard_normal((nsteps, nlat, nlon))).astype(F)
+    u = (6.0 * rng.standard_normal((nsteps, nlev, nlat, nlon))).astype(F)
+    v = (6.0 * rng.standard_normal((nsteps, nlev, nlat, nlon))).astype(F)
+
+    grid = Grid(lon=lon, lat=lat)
+    # sanity: the tile grid really is multi-tile with a non-coastal tile
+    from seabreeze_param_tpu.ops.pallas.ring_kernel import (
+        coastal_tile_pred, stacked_tile_extents, _default_tiles)
+    pipe_x = TriggerPipeline(grid)
+    cd0 = np.asarray(pipe_x.distance_field(jnp.asarray(lsm),
+                                           jnp.asarray(ci_t[0])))
+    hp, wp = stacked_tile_extents(nlat, nlon, pipe_x.nn_max)
+    tr, tc = _default_tiles(pipe_x.nn_max, None, None)
+    pad = np.full((hp, wp), 12000.0, F)
+    pad[:nlat, :nlon] = cd0
+    pred0 = np.asarray(coastal_tile_pred(jnp.asarray(pad), 180.0,
+                                         min(tr, nlat), min(tc, nlon)))
+    assert pred0.size >= 4 and (~pred0).any() and pred0.any()
+
+    rngs = np.random.default_rng(3)
+    ws0 = (5 + rngs.random((nlat, nlon))).astype(F)
+    wd0 = (360 * rngs.random((nlat, nlon)) - 180).astype(F)
+
+    def state0():
+        return TriggerState(tt=jnp.int32(14),
+                            thc=jnp.zeros((nlat, nlon), jnp.float32),
+                            windspeed=jnp.asarray(ws0),
+                            winddir=jnp.asarray(wd0))
+
+    args = (theta, u, v, lsm, z, std, p)
+    ref_state, ref_out = pipe_x.run(state0(), *args, ci_t=ci_t)
+    pipe = TriggerPipeline(grid, use_pallas=True, pallas_interpret=True)
+    got_state, got_out = pipe.run(state0(), *args, ci_t=ci_t)
+
+    for key in ("sb_con", "t0", "windspeed", "winddir"):
+        g, r = np.asarray(got_out[key]), np.asarray(ref_out[key])
+        miss = r == np.float32(2.0e20)
+        np.testing.assert_array_equal(g == np.float32(2.0e20), miss,
+                                      err_msg=key)
+        np.testing.assert_allclose(g[~miss], r[~miss], rtol=2e-5, atol=2e-4,
+                                   err_msg=key)
+    np.testing.assert_array_equal(np.asarray(got_state.windspeed),
+                                  np.asarray(ref_state.windspeed))
+    np.testing.assert_array_equal(np.asarray(got_state.winddir),
+                                  np.asarray(ref_state.winddir))

@@ -79,6 +79,14 @@ def distance_tables(grid: Grid, k: int):
     sdphi2 = np.sin(dphi / np.float32(2.0), dtype=np.float32) ** 2
     po = (np.cos(phi[ysrc_c], dtype=np.float32)
           * np.cos(phi[:, None], dtype=np.float32)).astype(np.float32)
+    # In exact arithmetic po = cos*cos >= 0 on [-90, 90] deg; float32
+    # rounding of the 90-deg radian makes cos(phi) ~ -4.4e-8 at exact pole
+    # rows.  Clamping restores the true sign (strictly MORE accurate than
+    # the f32 noise) and guarantees the pass-1 window minimum is attained
+    # at Mmin alone — which halves pass 1 (no Mmax tracking; the pipeline's
+    # dominant stage at 0.1 deg).  Effect is confined to distances sourced
+    # at exact +-90 rows and is far inside the golden tolerances.
+    po = np.maximum(po, np.float32(0.0))
     sdphi2 = np.where(row_valid, sdphi2, BIG_PARAM).astype(np.float32)
     po = np.where(row_valid, po, np.float32(0.0)).astype(np.float32)
 
@@ -88,11 +96,17 @@ def distance_tables(grid: Grid, k: int):
     return sdphi2, po, sdlam2
 
 
-def pass1_extrema(cpad, sdlam2, k: int, *, unroll: bool | None = None):
+def pass1_extrema(cpad, sdlam2, k: int, *, unroll: bool | None = None,
+                  need_max: bool = False):
     """Pass 1 of the separable min: per padded row, the masked sliding
-    min/max of sdlam2 over the lon window dj (see
+    min (and, with ``need_max``, max) of sdlam2 over the lon window dj (see
     :func:`min_haversine_param_from_padded`).  Returns (Mmin, Mmax), each
-    (h+2k, w); BIG / -BIG where the window holds no coast cell."""
+    (h+2k, w); BIG / -BIG where the window holds no coast cell.
+
+    ``need_max=False`` (the default — :func:`distance_tables` clamps po to
+    >= 0, making Mmin alone sufficient) skips the max channel entirely and
+    returns ``Mmax=None``: HALF the taps of the pipeline's dominant stage
+    at 0.1 deg."""
     h2k = cpad.shape[0]
     w = cpad.shape[1] - 2 * k
     nwin = 2 * k + 1
@@ -108,42 +122,42 @@ def pass1_extrema(cpad, sdlam2, k: int, *, unroll: bool | None = None):
         else:
             win = lax.dynamic_slice(cpad, (0, dj), (h2k, w)) > 0.0
             cand = lax.dynamic_slice(sdlam2, (0, dj), (w, 1)).T  # (1, w)
-        return (jnp.where(win, jnp.minimum(mmin, cand), mmin),
-                jnp.where(win, jnp.maximum(mmax, cand), mmax))
+        mmin = jnp.where(win, jnp.minimum(mmin, cand), mmin)
+        if need_max:
+            mmax = jnp.where(win, jnp.maximum(mmax, cand), mmax)
+        return (mmin, mmax)
 
     m0 = (jnp.full((h2k, w), BIG_PARAM, jnp.float32),
-          jnp.full((h2k, w), -BIG_PARAM, jnp.float32))
+          jnp.full((h2k, w), -BIG_PARAM, jnp.float32) if need_max
+          else jnp.zeros((0,), jnp.float32))
     if unroll:
         for dj in range(nwin):
             m0 = body_j(dj, m0, static=True)
-        return m0
-    return lax.fori_loop(0, nwin, body_j, m0)
+    else:
+        m0 = lax.fori_loop(0, nwin, body_j, m0)
+    return (m0[0], m0[1]) if need_max else (m0[0], None)
 
 
 def pass1_extrema_nearest(cpad, k: int, half_dlam: float):
     """Fast pass 1 for UNIFORM-lon grids: O(log k) instead of O(2k+1).
 
     On a uniform grid ``sdlam2[x, dj] = sin^2(|dj-k| * dlam / 2)`` is
-    monotone in the offset magnitude (k*dlam << 180 deg always — k is
-    maxdist in ~cells), so the masked window *min* of sdlam2 is attained
-    at the NEAREST coast cell and the masked *max* at the FARTHEST one
-    within +-k.  Both are classic log-doubling problems:
-
-      * nearest: bidirectional min-plus doubling on the cell-distance
-        field ``d = 0 where coast else BIG`` — ``d = min(d, d[x-s]+s,
-        d[x+s]+s)`` for s = 1, 2, 4, ... is exact for every distance
-        within the accumulated reach (binary decomposition of the offset
-        keeps all intermediate hops inside the span), and the final
-        ``d <= k`` test discards beyond-window finds exactly;
-      * farthest: per-side windowed extreme POSITION via sparse-table
-        doubling (max is idempotent, so two overlapping 2^m windows cover
-        the k+1 window exactly).
+    monotone in the offset magnitude (checked by :func:`uniform_half_dlam`
+    via k*dlam <= 180 deg), so the masked window *min* of sdlam2 is
+    attained at the NEAREST coast cell within +-k — a classic log-doubling
+    problem: bidirectional min-plus doubling on the cell-distance field
+    ``d = 0 where coast else BIG`` — ``d = min(d, d[x-s]+s, d[x+s]+s)``
+    for s = 1, 2, 4, ... is exact for every distance within the
+    accumulated reach (binary decomposition of the offset keeps all
+    intermediate hops inside the span), and the final ``d <= k`` test
+    discards beyond-window finds exactly.  (No max channel: po >= 0 by the
+    :func:`distance_tables` clamp.)
 
     Values are then ``sin^2(d * dlam/2)`` computed directly — equal to
     the table entries up to float32 rounding of the branched-longitude
     differences (allclose, not bit-exact; the tapped
     :func:`pass1_extrema` remains the exact-parity default).  Returns
-    (Mmin, Mmax) with the same contract (BIG / -BIG on empty windows).
+    (Mmin, None) with the same contract (BIG on empty windows).
 
     MEASURED RESULT (TPU v5e, r4): although this form is ~3x fewer vector
     ops per cell (~60 vs ~186 at k=15), it LOSES on TPU — 2.15 ms vs
@@ -175,45 +189,16 @@ def pass1_extrema_nearest(cpad, k: int, half_dlam: float):
         s *= 2
     dnear = d
 
-    # --- farthest: per-side windowed extreme positions ---------------
-    pos = jax.lax.broadcasted_iota(jnp.float32, (h2k, w2k), 1)
-    maxpos_r = jnp.where(coast, pos, -big)   # max coast pos in [x, x+2^i)
-    minpos_l = jnp.where(coast, pos, big)    # min coast pos in (x-2^i, x]
-    span = 1
-    while span * 2 <= k + 1:
-        mr = jnp.concatenate(
-            [maxpos_r[:, span:], jnp.full((h2k, span), -big, jnp.float32)],
-            axis=1)
-        maxpos_r = jnp.maximum(maxpos_r, mr)
-        ml = jnp.concatenate(
-            [jnp.full((h2k, span), big, jnp.float32), minpos_l[:, :-span]],
-            axis=1)
-        minpos_l = jnp.minimum(minpos_l, ml)
-        span *= 2
-    # overlap to exactly k+1-wide windows (idempotent extremes)
-    off = k + 1 - span
-    if off:
-        mr = jnp.concatenate(
-            [maxpos_r[:, off:], jnp.full((h2k, off), -big, jnp.float32)],
-            axis=1)
-        maxpos_r = jnp.maximum(maxpos_r, mr)
-        ml = jnp.concatenate(
-            [jnp.full((h2k, off), big, jnp.float32), minpos_l[:, :-off]],
-            axis=1)
-        minpos_l = jnp.minimum(minpos_l, ml)
-    dfar = jnp.maximum(maxpos_r - pos, pos - minpos_l)
-
     # --- center columns, values --------------------------------------
+    # (the farthest/Mmax channel is gone: distance_tables clamps po >= 0,
+    # so the window minimum is always attained at the nearest coast cell)
     ctr = slice(k, k + w)
     dnear_c = dnear[:, ctr]
-    dfar_c = jnp.clip(dfar[:, ctr], 0.0, jnp.float32(k))
     found = dnear_c <= jnp.float32(k)
     half = jnp.float32(half_dlam)
     smin = jnp.sin(dnear_c * half)
-    smax = jnp.sin(dfar_c * half)
     Mmin = jnp.where(found, smin * smin, big)
-    Mmax = jnp.where(found, smax * smax, -big)
-    return Mmin, Mmax
+    return Mmin, None
 
 
 def uniform_half_dlam(grid: Grid, k: int | None = None):
@@ -254,7 +239,9 @@ def pass2_min(Mmin, Mmax, sdphi2, po, k: int, *,
               unroll: bool | None = None):
     """Pass 2 of the separable min: per target row, the min over the lat
     window di of sdphi2 + po * extremum (see
-    :func:`min_haversine_param_from_padded`).  Returns amin (h, w)."""
+    :func:`min_haversine_param_from_padded`).  Returns amin (h, w).
+    ``Mmax=None`` selects the single-extremum form (po >= 0, the
+    :func:`distance_tables` guarantee)."""
     h = Mmin.shape[0] - 2 * k
     w = Mmin.shape[1]
     nwin = 2 * k + 1
@@ -266,15 +253,18 @@ def pass2_min(Mmin, Mmax, sdphi2, po, k: int, *,
     def body_i(di, amin, static=False):
         if static:
             lo = Mmin[di:di + h]
-            hi = Mmax[di:di + h]
             p = po[:, di:di + 1]
             s = sdphi2[:, di:di + 1]
         else:
             lo = lax.dynamic_slice(Mmin, (di, 0), (h, w))
-            hi = lax.dynamic_slice(Mmax, (di, 0), (h, w))
             p = lax.dynamic_slice(po, (0, di), (h, 1))
             s = lax.dynamic_slice(sdphi2, (0, di), (h, 1))
-        inner = jnp.minimum(p * lo, p * hi)
+        if Mmax is None:
+            inner = p * lo
+        else:
+            hi = (Mmax[di:di + h] if static
+                  else lax.dynamic_slice(Mmax, (di, 0), (h, w)))
+            inner = jnp.minimum(p * lo, p * hi)
         cand = s + inner
         cand = jnp.where(lo > BIG_PARAM / 2, BIG_PARAM, cand)  # empty window
         return jnp.minimum(amin, cand)
@@ -303,15 +293,15 @@ def min_haversine_param_from_padded(cpad, sdphi2, po, sdlam2, k: int,
     by the in_specs.
 
     The naive form scans all (2k+1)^2 offsets.  For any fixed di the inner
-    min over dj is ``po[di] * extremum(sdlam2 over coast cells)`` — the
-    masked *min* of sdlam2 when po >= 0, the masked *max* when po < 0 (po is
-    cos*cos, which in exact arithmetic is >= 0 but in float32 dips to ~-4e-8
-    at the poles).  Tracking both extrema makes the separation *exact*:
+    min over dj is ``po[di] * min(sdlam2 over coast cells)`` — exact
+    because :func:`distance_tables` guarantees po >= 0 (po is cos*cos,
+    >= 0 in exact arithmetic; the f32 pole-row rounding to ~-4e-8 is
+    clamped away at table build):
 
         min_{di,dj: coast} sdphi2[di] + po[di] * sdlam2[x, dj]
-          = min_di ( sdphi2[di] + min(po[di]*Mmin[y+di,x], po[di]*Mmax[..]) )
+          = min_di ( sdphi2[di] + po[di] * Mmin[y+di, x] )
 
-    — the same winning value as the full 2-D scan, in O(2*(2k+1)) sliced
+    — the same winning value as the full 2-D scan, in O(2k+1) sliced
     FMA/min passes instead of O((2k+1)^2).  Row-windows with no coast cell
     are poisoned explicitly (Mmin stays BIG); beyond-lat-edge rows carry
     sdphi2 = BIG and never win.

@@ -4,13 +4,12 @@ Fuses both passes of the separable haversine-parameter min
 (``ops.distance.min_haversine_param_from_padded``; reference scatter form:
 ``sobel.f90:154-190``) into one VMEM-resident kernel:
 
-  pass 1:  Mmin/Mmax[r, x] = masked min/max_dj { sdlam2[x, dj] : coast[r, x+dj] }
-  pass 2:  amin[y,x] = min_di ( sdphi2[y,di]
-                                + min(po[y,di]*Mmin[y+di,x],
-                                      po[y,di]*Mmax[y+di,x]) )
+  pass 1:  Mmin[r, x] = masked min_dj { sdlam2[x, dj] : coast[r, x+dj] }
+  pass 2:  amin[y,x] = min_di ( sdphi2[y,di] + po[y,di]*Mmin[y+di,x] )
 
-(both extrema because float32 ``po = cos*cos`` dips to ~-4e-8 at the poles;
-empty row-windows are poisoned — see ops.distance for the exactness proof).
+(single extremum: ``distance_tables`` clamps po = cos*cos to >= 0, its
+exact-arithmetic sign; empty row-windows are poisoned — see ops.distance
+for the exactness proof).
 
 The XLA fori_loop version re-reads the field from HBM on every one of the
 ~2*(2k+1) sliced passes; here each (tile_rows, tile_cols) tile plus its
@@ -70,24 +69,22 @@ def _kernel(cpad_hbm, sdphi2_ref, po_ref, sdlam2t_ref, out_ref, scr, sem,
 
     @pl.when(any_coast)
     def _compute():
-        # --- pass 1: masked sliding min/max of sdlam2 over the lon window --
-        # (SSA values, not scratch refs: Mosaic schedules/spills them itself
-        # instead of a VMEM load+store round-trip per dj step)
+        # --- pass 1: masked sliding min of sdlam2 over the lon window -----
+        # (single extremum: distance_tables clamps po >= 0.  SSA values,
+        # not scratch refs: Mosaic schedules/spills them itself instead of
+        # a VMEM load+store round-trip per dj step)
         mmin = jnp.full((rows_dma, tw), BIG_PARAM, jnp.float32)
-        mmax = jnp.full((rows_dma, tw), -BIG_PARAM, jnp.float32)
         for dj in range(nwin):
             coast_w = scr[:, dj:dj + tw] > 0.0
             cand = sdlam2t_ref[dj:dj + 1, :]           # (1, tw) broadcasts
             mmin = jnp.where(coast_w, jnp.minimum(mmin, cand), mmin)
-            mmax = jnp.where(coast_w, jnp.maximum(mmax, cand), mmax)
 
         # --- pass 2: min over the lat window, empty windows poisoned ------
         amin = jnp.full((th, tw), BIG_PARAM, jnp.float32)
         for di in range(nwin):
             lo = mmin[di:di + th, :]
-            hi = mmax[di:di + th, :]
             p = po_ref[:, di:di + 1]
-            cand = sdphi2_ref[:, di:di + 1] + jnp.minimum(p * lo, p * hi)
+            cand = sdphi2_ref[:, di:di + 1] + p * lo
             cand = jnp.where(lo > BIG_PARAM / 2, BIG_PARAM, cand)
             amin = jnp.minimum(amin, cand)
         out_ref[:] = amin
@@ -164,7 +161,7 @@ def min_haversine_param_pallas_padded(cpad, sdphi2, po, sdlam2, k: int,
 
 def _pass2_kernel(mn_hbm, mx_hbm, sdphi2_ref, po_ref, out_ref, mn_s, mx_s,
                   sem, *, k: int, th: int, tw: int, rows_dma: int,
-                  ni: int, nj: int):
+                  ni: int, nj: int, need_max: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
     nwin = 2 * k + 1
@@ -182,9 +179,10 @@ def _pass2_kernel(mn_hbm, mx_hbm, sdphi2_ref, po_ref, out_ref, mn_s, mx_s,
         pltpu.make_async_copy(
             mn_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
             mn_s.at[sl], sem.at[sl, 0]).start()
-        pltpu.make_async_copy(
-            mx_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
-            mx_s.at[sl], sem.at[sl, 1]).start()
+        if need_max:
+            pltpu.make_async_copy(
+                mx_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
+                mx_s.at[sl], sem.at[sl, 1]).start()
 
     def wait(tt, sl):
         ii = tt // nj
@@ -192,9 +190,10 @@ def _pass2_kernel(mn_hbm, mx_hbm, sdphi2_ref, po_ref, out_ref, mn_s, mx_s,
         pltpu.make_async_copy(
             mn_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
             mn_s.at[sl], sem.at[sl, 0]).wait()
-        pltpu.make_async_copy(
-            mx_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
-            mx_s.at[sl], sem.at[sl, 1]).wait()
+        if need_max:
+            pltpu.make_async_copy(
+                mx_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
+                mx_s.at[sl], sem.at[sl, 1]).wait()
 
     @pl.when(t == 0)
     def _first():
@@ -219,9 +218,13 @@ def _pass2_kernel(mn_hbm, mx_hbm, sdphi2_ref, po_ref, out_ref, mn_s, mx_s,
         amin = jnp.full((th, tw), BIG_PARAM, jnp.float32)
         for di in range(nwin):
             lo = mn_s[slot, di:di + th, :]
-            hi = mx_s[slot, di:di + th, :]
             p = po_ref[:, di:di + 1]
-            cand = sdphi2_ref[:, di:di + 1] + jnp.minimum(p * lo, p * hi)
+            if need_max:
+                hi = mx_s[slot, di:di + th, :]
+                inner = jnp.minimum(p * lo, p * hi)
+            else:
+                inner = p * lo
+            cand = sdphi2_ref[:, di:di + 1] + inner
             cand = jnp.where(lo > BIG_PARAM / 2, BIG_PARAM, cand)
             amin = jnp.minimum(amin, cand)
         out_ref[:] = amin
@@ -232,7 +235,9 @@ def pass2_min_pallas(Mmin, Mmax, sdphi2, po, k: int, *, tile_rows: int = 128,
     """Pallas form of the separable min's pass 2 (see ops.distance).
 
     Mmin, Mmax : (h+2k, w) f32 — pass-1 row-window extrema of sdlam2 (BIG /
-        -BIG where the window holds no coast cell).
+        -BIG where the window holds no coast cell).  ``Mmax=None`` selects
+        the single-extremum form (po >= 0, the ``distance_tables``
+        guarantee): one strip DMA and one tap per di instead of two.
     sdphi2, po : (h, 2k+1) f32 row tables.
     Returns amin (h, w).
 
@@ -242,6 +247,7 @@ def pass2_min_pallas(Mmin, Mmax, sdphi2, po, k: int, *, tile_rows: int = 128,
     (measured 2.8 ms -> ~0.3 ms at 0.1 deg, k=15).
     """
     k = int(k)
+    need_max = Mmax is not None
     h = Mmin.shape[0] - 2 * k
     w = Mmin.shape[1]
     th = min(tile_rows, _round_up(h, 8))
@@ -264,13 +270,17 @@ def pass2_min_pallas(Mmin, Mmax, sdphi2, po, k: int, *, tile_rows: int = 128,
         # are poisoned via sdphi2=BIG and everything extra is sliced off.
         Mmin = jnp.pad(Mmin, ((0, pad_r), (0, wp - w)),
                        constant_values=BIG_PARAM)
-        Mmax = jnp.pad(Mmax, ((0, pad_r), (0, wp - w)),
-                       constant_values=-BIG_PARAM)
+        if need_max:
+            Mmax = jnp.pad(Mmax, ((0, pad_r), (0, wp - w)),
+                           constant_values=-BIG_PARAM)
+    if not need_max:
+        Mmax = Mmin       # dummy operand; never DMA'd or read
 
     nwin = 2 * k + 1
     out = pl.pallas_call(
         functools.partial(_pass2_kernel, k=k, th=th, tw=tw,
-                          rows_dma=rows_dma, ni=ni, nj=nj),
+                          rows_dma=rows_dma, ni=ni, nj=nj,
+                          need_max=need_max),
         grid=(ni, nj),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                    # Mmin

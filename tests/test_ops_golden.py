@@ -165,17 +165,25 @@ def test_pass1_nearest_matches_taps(case, request):
     coast = get_edges(c["lsm"], c["ci_t"][0])
     cpad = pad_coast(jnp.asarray(coast), k)
 
-    ref_min, ref_max = map(np.asarray, pass1_extrema(cpad, tables[2], k))
-    got_min, got_max = map(np.asarray,
-                           pass1_extrema_nearest(cpad, k, half))
+    ref_min, ref_none = pass1_extrema(cpad, tables[2], k)
+    assert ref_none is None        # single-extremum default (po >= 0)
+    ref_min = np.asarray(ref_min)
+    got_min, got_none = pass1_extrema_nearest(cpad, k, half)
+    assert got_none is None
+    got_min = np.asarray(got_min)
     empty = ref_min > BIG_PARAM / 2
     np.testing.assert_array_equal(got_min > BIG_PARAM / 2, empty)
-    np.testing.assert_array_equal(got_max < -BIG_PARAM / 2, empty)
     sel = ~empty
     np.testing.assert_allclose(got_min[sel], ref_min[sel], rtol=1e-4,
                                atol=1e-9)
-    np.testing.assert_allclose(got_max[sel], ref_max[sel], rtol=1e-4,
-                               atol=1e-9)
+    # the optional two-extremum form is still available (need_max=True):
+    # its min channel must be identical and its max channel well-formed
+    ref2_min, ref2_max = map(np.asarray,
+                             pass1_extrema(cpad, tables[2], k,
+                                           need_max=True))
+    np.testing.assert_array_equal(ref2_min, ref_min)
+    np.testing.assert_array_equal(ref2_max < -BIG_PARAM / 2, empty)
+    assert (ref2_max[sel] >= ref_min[sel]).all()
 
 
 @pytest.mark.parametrize("case", ["global_case"])

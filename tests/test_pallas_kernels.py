@@ -28,10 +28,15 @@ def test_distance_kernel_matches_jnp(case, tile_rows, tile_cols, request):
                                                 tile_rows=tile_rows,
                                                 tile_cols=tile_cols,
                                                 interpret=True))
-    # identical candidate set + monotone float32 ops -> bit-identical
-    # (tiles skipped by the coast-sparsity predicate produce the same
-    # poisoned BIG value the dense math would)
-    np.testing.assert_array_equal(got, ref)
+    # identical candidate set; poisoned (empty-window) structure exact.
+    # Values may differ by 1 ULP: the single-extremum form's s + p*lo is
+    # FMA-contractable, and XLA contracts it differently per fusion
+    # context (tiles skipped by the coast-sparsity predicate produce the
+    # same poisoned BIG value the dense math would).
+    big = np.float32(1e30) / 2
+    np.testing.assert_array_equal(got > big, ref > big)
+    sel = ref < big
+    np.testing.assert_allclose(got[sel], ref[sel], rtol=3e-7, atol=0)
 
 
 @pytest.mark.parametrize("case", ["small_case", "global_case"])
@@ -49,13 +54,34 @@ def test_pass2_kernel_matches_jnp(case, tile_rows, tile_cols, request):
     k = effective_radius(grid, 180.0)
     sdphi2, po, sdlam2 = distance_tables(grid, k)
     coast = get_edges(c["lsm"], c["ci_t"][0])
-    Mmin, Mmax = pass1_extrema(pad_coast(jnp.asarray(coast), k), sdlam2, k)
+    cpad = pad_coast(jnp.asarray(coast), k)
 
-    ref = np.asarray(pass2_min(Mmin, Mmax, sdphi2, po, k))
-    got = np.asarray(pass2_min_pallas(Mmin, Mmax, sdphi2, po, k,
+    def close_1ulp(a, b):
+        # s + p*lo is FMA-contractable in the single-extremum form; XLA
+        # contracts differently per fusion context -> 1-ULP tolerance with
+        # exact poison structure
+        big = np.float32(1e30) / 2
+        np.testing.assert_array_equal(a > big, b > big)
+        sel = b < big
+        np.testing.assert_allclose(a[sel], b[sel], rtol=3e-7, atol=0)
+
+    # single-extremum production form (po >= 0 from distance_tables)
+    Mmin, none = pass1_extrema(cpad, sdlam2, k)
+    assert none is None
+    ref = np.asarray(pass2_min(Mmin, None, sdphi2, po, k))
+    got = np.asarray(pass2_min_pallas(Mmin, None, sdphi2, po, k,
                                       tile_rows=tile_rows,
                                       tile_cols=tile_cols, interpret=True))
-    np.testing.assert_array_equal(got, ref)
+    close_1ulp(got, ref)
+
+    # the optional two-extremum form stays consistent with it
+    Mmin2, Mmax2 = pass1_extrema(cpad, sdlam2, k, need_max=True)
+    ref2 = np.asarray(pass2_min(Mmin2, Mmax2, sdphi2, po, k))
+    got2 = np.asarray(pass2_min_pallas(Mmin2, Mmax2, sdphi2, po, k,
+                                       tile_rows=tile_rows,
+                                       tile_cols=tile_cols, interpret=True))
+    np.testing.assert_array_equal(got2, ref2)
+    close_1ulp(ref2, ref)
 
 
 @pytest.mark.parametrize("case", ["small_case", "global_case"])

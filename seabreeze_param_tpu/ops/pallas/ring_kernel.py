@@ -48,8 +48,16 @@ def _default_tiles(NN: int, tile_rows, tile_cols):
     (benchmarks/sweep_ring.py).  Small tiles give the coastal-band skip
     spatial resolution (the band is only ~5% of a global grid) and let the
     per-tile early exit fire sooner; below ~16 rows the per-tile grid/DMA
-    overhead dominates.  (64, 128) won the r4 sweep at 0.25 deg (NN=10):
-    0.268 ms vs 0.294 ms for the old (128, 256) default."""
+    overhead dominates.  (64, 128) won the r4 sweep at 0.25 deg (NN=10)
+    and stays the winner under the r5 compacted launch.  ``SBZ_RING_TILES``
+    (e.g. ``64x256``) overrides for experiments — read at trace time, so
+    only use it with a fresh process per value."""
+    if tile_rows is None and tile_cols is None:
+        import os
+        env = os.environ.get("SBZ_RING_TILES")
+        if env:
+            r, c = env.split("x")
+            return int(r), int(c)
     tile_rows = 64 if tile_rows is None else tile_rows
     tile_cols = 128 if tile_cols is None else tile_cols
     return tile_rows, tile_cols

@@ -69,7 +69,20 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--nlev", type=int, default=4)
     ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--virtual-devices", type=int, default=None,
+                    help="run on N virtual CPU devices instead of the real "
+                         "backend — the structural (code-path) curve of "
+                         "SURVEY §4b; wall-clock efficiency is then bounded "
+                         "by the HOST's core count, not the framework")
     args = ap.parse_args()
+
+    if args.virtual_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count="
+              f"{args.virtual_devices}").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     results = []
     for n in (int(x) for x in args.devices.split(",")):

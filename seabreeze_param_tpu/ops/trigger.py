@@ -174,6 +174,38 @@ def trigger_core(state: TriggerState, t0, cdist, ws_new, wd_new, t0_pad,
     return new_state, outputs
 
 
+def trigger_core_stacked(state: TriggerState, t0, cdist, ws_new, wd_new,
+                         t0_pad, cd_pad, params: Params, nn_max: int,
+                         step_idx, sb_buf, ws_buf, wd_buf, tile_ids,
+                         n_tiles, *, row_offset=0,
+                         nlat_total: int | None = None,
+                         pallas_interpret: bool = False):
+    """:func:`trigger_core`'s compacted-stacked analogue, from pre-padded
+    ring inputs (single-device ``pad2d`` or sharded halo exchange — the
+    overlapped mesh pipeline calls this directly with its apron-computed
+    pads).  Returns ``(new_state, out_t0, sb_buf, ws_buf, wd_buf)``."""
+    from .pallas.ring_kernel import ring_trigger_pallas_stacked
+
+    cdist = jnp.asarray(cdist, jnp.float32)
+    is_first = state.tt < 2
+    upd = jnp.mod(state.tt.astype(jnp.float32) * params.timestep_seconds,
+                  params.target_time_seconds) < jnp.float32(1.0e-4)
+    ws_out, wd_out, sb_buf, ws_buf, wd_buf = ring_trigger_pallas_stacked(
+        t0_pad, cd_pad, cdist, ws_new, wd_new, state.windspeed,
+        state.winddir, is_first, upd, params, nn_max, step_idx,
+        sb_buf, ws_buf, wd_buf, tile_ids, n_tiles, row_offset=row_offset,
+        nlat_total=nlat_total, interpret=pallas_interpret)
+    if params.skip_last_lat_row:
+        nlat = nlat_total if nlat_total is not None else t0.shape[0]
+        row_ok = ((row_offset + jnp.arange(t0.shape[0])) < nlat - 1)[:, None]
+        out_t0 = jnp.where(row_ok, t0, jnp.float32(0.0))
+    else:
+        out_t0 = t0
+    new_state = TriggerState(tt=state.tt + 1, thc=out_t0,
+                             windspeed=ws_out, winddir=wd_out)
+    return new_state, out_t0, sb_buf, ws_buf, wd_buf
+
+
 def trigger_step_stacked(state: TriggerState, theta, u, v, cdist, z, std,
                          pres, params: Params, nn_max: int, step_idx,
                          sb_buf, ws_buf, wd_buf, tile_ids, n_tiles, *,
@@ -195,7 +227,6 @@ def trigger_step_stacked(state: TriggerState, theta, u, v, cdist, z, std,
     returned per-step (pure XLA fusion output — its ys-stack write fuses).
     """
     from .indexing import pad2d
-    from .pallas.ring_kernel import ring_trigger_pallas_stacked
 
     if smod is None:
         smod = sigmoid_weight(std)
@@ -205,23 +236,10 @@ def trigger_step_stacked(state: TriggerState, theta, u, v, cdist, z, std,
     t0_pad = pad2d(t0, nn_max, nn_max, exact_lon=params.exact_lon_indexing)
     cd_pad = pad2d(cdist, nn_max, nn_max,
                    exact_lon=params.exact_lon_indexing)
-    is_first = state.tt < 2
-    upd = jnp.mod(state.tt.astype(jnp.float32) * params.timestep_seconds,
-                  params.target_time_seconds) < jnp.float32(1.0e-4)
-    ws_out, wd_out, sb_buf, ws_buf, wd_buf = ring_trigger_pallas_stacked(
-        t0_pad, cd_pad, cdist, ws_new, wd_new, state.windspeed,
-        state.winddir, is_first, upd, params, nn_max, step_idx,
-        sb_buf, ws_buf, wd_buf, tile_ids, n_tiles,
-        interpret=pallas_interpret)
-    if params.skip_last_lat_row:
-        nlat = t0.shape[0]
-        row_ok = (jnp.arange(nlat) < nlat - 1)[:, None]
-        out_t0 = jnp.where(row_ok, t0, jnp.float32(0.0))
-    else:
-        out_t0 = t0
-    new_state = TriggerState(tt=state.tt + 1, thc=out_t0,
-                             windspeed=ws_out, winddir=wd_out)
-    return new_state, out_t0, sb_buf, ws_buf, wd_buf
+    return trigger_core_stacked(
+        state, t0, cdist, ws_new, wd_new, t0_pad, cd_pad, params, nn_max,
+        step_idx, sb_buf, ws_buf, wd_buf, tile_ids, n_tiles,
+        pallas_interpret=pallas_interpret)
 
 
 def trigger_step(state: TriggerState, theta, u, v, cdist, z, std, pres,

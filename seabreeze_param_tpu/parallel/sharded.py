@@ -229,7 +229,10 @@ class ShardedPipeline:
                                             lat_fill="clamp",
                                             exact_lon=exact))
 
-        def scan_fn(carry, x):
+        def step_fields(x):
+            """Everything of one overlapped step up to the trigger core:
+            issue the exchanges, overlap them with the wind read, finish
+            them, and derive (t0, cdist, ring pads, fresh wind)."""
             if has_ci:
                 th, uu, vv, ci = x
                 mask = make_mask(lsm, ci)
@@ -257,13 +260,78 @@ class ShardedPipeline:
                 cd_ring = quirky_seam_patch(cd_ext, nn, w)
             else:
                 t0_ring, cd_ring = t0_ext, cd_ext
-            return trigger_core(
-                carry, t0, cdist, ws_new, wd_new, t0_ring, cd_ring, params,
-                nn, row_offset=row_offset, nlat_total=self.nlat_real,
-                use_pallas=pipe.use_pallas,
-                pallas_interpret=pipe.pallas_interpret)
+            return t0, cdist, ws_new, wd_new, t0_ring, cd_ring
 
-        return lax.scan(scan_fn, state, xs)
+        if not pipe.use_pallas:
+            def scan_fn(carry, x):
+                t0, cdist, ws_new, wd_new, t0_ring, cd_ring = step_fields(x)
+                return trigger_core(
+                    carry, t0, cdist, ws_new, wd_new, t0_ring, cd_ring,
+                    params, nn, row_offset=row_offset,
+                    nlat_total=self.nlat_real, use_pallas=False,
+                    pallas_interpret=pipe.pallas_interpret)
+
+            return lax.scan(scan_fn, state, xs)
+
+        # Pallas production: the compacted-stacked kernel per shard — the
+        # same structure as the single-device scan
+        # (models.pipeline._make_stacked_scan): per-step output slots land
+        # in carried (T, ·, ·) buffers in place, and only the shard's
+        # EVER-coastal tiles launch (monotone set; pre-filled passthrough
+        # defaults are provably what unlaunched tiles would compute).
+        from ..ops.pallas.ring_kernel import (_default_tiles,
+                                              coastal_tile_pred,
+                                              stacked_tile_extents)
+        from ..ops.trigger import trigger_core_stacked
+        from ..core.params import MISSING_VALUE
+
+        T = xs[0].shape[0]
+        hp_rows, wp_cols = stacked_tile_extents(h, w, nn)
+        tr, tc = _default_tiles(nn, None, None)
+        th_t, tw_t = min(tr, h), min(tc, w)
+        n_tiles_total = (hp_rows // th_t) * (wp_cols // tw_t)
+
+        def pad_grid(a, fill=0.0):
+            return jnp.pad(a, ((0, hp_rows - h), (0, wp_cols - w)),
+                           constant_values=jnp.float32(fill))
+
+        rows_global = row_offset + jnp.arange(hp_rows)
+        last = self.nlat_real - 1 if params.skip_last_lat_row \
+            else self.nlat_real
+        row_ok = (rows_global < last)[:, None]
+        zero = jnp.float32(0.0)
+        sb_b = jnp.broadcast_to(jnp.where(row_ok, MISSING_VALUE, zero),
+                                (T, hp_rows, wp_cols))
+        ws_b = jnp.broadcast_to(
+            jnp.where(row_ok, pad_grid(state.windspeed), zero),
+            (T, hp_rows, wp_cols))
+        wd_b = jnp.broadcast_to(
+            jnp.where(row_ok, pad_grid(state.winddir), zero),
+            (T, hp_rows, wp_cols))
+
+        def scan_stacked(carry, x):
+            st, idx, ever, sb_b, ws_b, wd_b = carry
+            t0, cdist, ws_new, wd_new, t0_ring, cd_ring = step_fields(x)
+            pred = coastal_tile_pred(pad_grid(cdist, fill=12000.0),
+                                     params.maxdist, th_t, tw_t)
+            ever = ever | pred
+            ids = jnp.nonzero(ever, size=n_tiles_total,
+                              fill_value=0)[0].astype(jnp.int32)
+            ntl = jnp.sum(ever).astype(jnp.int32)
+            st, out_t0, sb_b, ws_b, wd_b = trigger_core_stacked(
+                st, t0, cdist, ws_new, wd_new, t0_ring, cd_ring, params,
+                nn, idx, sb_b, ws_b, wd_b, ids, ntl,
+                row_offset=row_offset, nlat_total=self.nlat_real,
+                pallas_interpret=pipe.pallas_interpret)
+            return (st, idx + 1, ever, sb_b, ws_b, wd_b), out_t0
+
+        ever0 = jnp.zeros((n_tiles_total,), bool)
+        carry0 = (state, jnp.int32(0), ever0, sb_b, ws_b, wd_b)
+        (final, _, _, sb_b, ws_b, wd_b), t0s = lax.scan(scan_stacked,
+                                                        carry0, xs)
+        outs = {"sb_con": sb_b[:, :h, :w], "t0": t0s,
+                "windspeed": ws_b[:, :h, :w], "winddir": wd_b[:, :h, :w]}
+        return final, outs
 
     # ------------------------------------------------------------------
     def _core_basic(self, state, xs, lsm, z, std, pres, sdphi2_g, po_g,

@@ -52,12 +52,14 @@ def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
     if not primary:
         progress = None
         metrics_file = None
-    if jax.process_count() > 1 and ckpt_dir:
-        import warnings
-        warnings.warn("ckpt_dir is not yet supported in multi-process "
-                      "runs (checkpoint writes are not coordinated); "
-                      "running without elastic recovery")
-        ckpt_dir = None
+    # ckpt_dir works multi-process too: the state arriving here is the
+    # allgathered GLOBAL state (identical on every process), and orbax
+    # coordinates the write through the initialized distributed runtime
+    # (primary writes, built-in barriers) — requires the directory to be a
+    # shared filesystem.  Note the in-run retry path assumes failures are
+    # process-symmetric: a single-process exception inside a collective
+    # needs a full relaunch, which then RESUMES from this directory — the
+    # standard multi-host recovery cut.
 
     if watchdog_s and not ckpt_dir:
         # The watchdog's abort path re-enters the unit from the last

@@ -20,6 +20,8 @@ def main():
     pid = int(sys.argv[1])
     port = sys.argv[2]
     conf = sys.argv[3]
+    ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
+    expect_written = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     # the driver's distributed.initialize() picks these up — the cloud-pod
@@ -30,13 +32,14 @@ def main():
 
     from seabreeze_param_tpu.cli.run import main as run_main
 
-    tt, thc, ws, wd, written = run_main(conf, progress=None)
+    kw = {"ckpt_dir": ckpt_dir} if ckpt_dir else {}
+    tt, thc, ws, wd, written = run_main(conf, progress=None, **kw)
 
     import jax
     assert jax.process_count() == 2
     assert len(jax.devices()) == 8
     if pid == 0:
-        assert len(written) == 2, written      # primary wrote both files
+        assert len(written) == expect_written, written   # primary writes
     else:
         assert written == [], written          # secondary wrote nothing
     # the returned global state is identical on every process

@@ -91,3 +91,32 @@ def test_cli_driver_two_process_matches_single(tmp_path_factory):
                 np.testing.assert_array_equal(y >= 1e19, miss, err_msg=var)
                 mism = ~np.isclose(y[~miss], x[~miss], rtol=1e-5, atol=1e-4)
                 assert mism.mean() < 1e-3, f"{var}: {mism.sum()}/{mism.size}"
+
+
+def test_cli_driver_two_process_checkpoint_resume(tmp_path_factory,
+                                                  tmp_path):
+    """Elastic recovery in the multi-process driver: a 2-process run with
+    --ckpt_dir checkpoints via orbax's coordinated multihost write; a
+    SECOND 2-process launch pointed at the same directory resumes with
+    every unit already complete (the multi-host recovery cut: relaunch +
+    resume)."""
+    from tests.test_io import _build_synthetic_run
+
+    mh = _build_synthetic_run(tmp_path_factory.mktemp("mhcli_ck"),
+                              nlat=160, nlon=288, nt=2)
+    ck = str(tmp_path / "ck")
+    procs, outs = _spawn_workers("multihost_cli_worker.py",
+                                 extra_args=(mh["conf"], ck, 2),
+                                 timeout=360)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"MULTIHOST-CLI-OK {pid}" in out, out[-4000:]
+    # relaunch against the same checkpoint dir: everything already done,
+    # nothing rewritten (expect_written=0), state straight from checkpoint
+    procs, outs = _spawn_workers("multihost_cli_worker.py",
+                                 extra_args=(mh["conf"], ck, 0),
+                                 timeout=360)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        # 2 files x 2 steps from tt=1 -> the checkpointed final tt=5
+        assert f"MULTIHOST-CLI-OK {pid} tt=5" in out, out[-4000:]

@@ -159,6 +159,11 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
     # True/False forces (False is also the pallas_interpret-free CPU path
     # the tests golden against).
     use_pallas = kwargs.pop("use_pallas", None)
+    # In a MULTI-PROCESS launch (jax.process_count() > 1) the call always
+    # runs the decomposed multi-host pipeline over all processes' devices
+    # (parallel.distributed); ``mesh`` then only fixes the global shape and
+    # the returned fields are the allgathered global arrays on every
+    # process.
     full_output = kwargs.pop("full_output", False)
     # Device-mesh selection (extension over the reference API): None =
     # single device; 'auto' = 2-D mesh over all local devices; a (py, px)

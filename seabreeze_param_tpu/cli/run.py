@@ -108,7 +108,12 @@ def main(config, progress=sys.stdout, ckpt_dir=None, save_every=1,
         nsteps = int(np.asarray(sb_con).shape[0])
         metrics.record(time.perf_counter() - t_start, nsteps)
         if metrics_stream:
-            metrics.add(file=os.path.basename(f_sb))
+            # executable-cache stats: after the first file these should be
+            # all hits — a miss on a later file means a re-trace (e.g. the
+            # ring bound grew); see api._EXEC_CACHE
+            metrics.add(file=os.path.basename(f_sb),
+                        exec_cache_hits=api.CACHE_STATS["pipeline_hits"],
+                        exec_cache_misses=api.CACHE_STATS["pipeline_misses"])
             metrics.emit()
         if primary:
             meta.create_nc(np.asarray(sb_con), f_sb, "sb_con", nc_data.time)

@@ -173,43 +173,20 @@ class TriggerPipeline:
         requires a coastal cell, so never-coastal cells provably never
         change state).  ``t0`` is a plain XLA fusion output, so its
         ys-stack write fuses and stays in the scan."""
-        from ..core.params import MISSING_VALUE
-        from ..ops.pallas.ring_kernel import (coastal_tile_pred,
-                                              stacked_tile_extents,
-                                              _default_tiles)
+        from ..ops.pallas.ring_kernel import CompactStackedScan
         from ..ops.trigger import trigger_step_stacked
 
         def scan_all(state, xs, lsm, z, std, pres, cdist0):
             TRACE_STATS["traces"] += 1
             T = xs[0].shape[0]
             nlat, nlon = xs[0].shape[1], xs[0].shape[2]
-            hp_rows, wp_cols = stacked_tile_extents(nlat, nlon, self.nn_max)
-            tr, tc = _default_tiles(self.nn_max, None, None)
-            th_t, tw_t = min(tr, nlat), min(tc, nlon)
-            n_tiles_total = (hp_rows // th_t) * (wp_cols // tw_t)
-
-            def pad_grid(a, fill=0.0):
-                return jnp.pad(a, ((0, hp_rows - nlat), (0, wp_cols - nlon)),
-                               constant_values=jnp.float32(fill))
-
-            # Pre-fill the output buffers with the never-coastal default:
-            # row_ok-masked MISSING for sb_con, row_ok-masked initial wind
-            # for the state slots (the same bytes a zeros-init would have
-            # written — the default is free).
-            if self.params.skip_last_lat_row:
-                row_ok = (jnp.arange(hp_rows) < nlat - 1)[:, None]
-            else:
-                row_ok = (jnp.arange(hp_rows) < nlat)[:, None]
-            zero = jnp.float32(0.0)
-            sb_b = jnp.broadcast_to(
-                jnp.where(row_ok, MISSING_VALUE, zero),
-                (T, hp_rows, wp_cols))
-            ws_b = jnp.broadcast_to(
-                jnp.where(row_ok, pad_grid(state.windspeed), zero),
-                (T, hp_rows, wp_cols))
-            wd_b = jnp.broadcast_to(
-                jnp.where(row_ok, pad_grid(state.winddir), zero),
-                (T, hp_rows, wp_cols))
+            css = CompactStackedScan(nlat, nlon, self.nn_max,
+                                     self.params.maxdist,
+                                     self.params.skip_last_lat_row)
+            # Pre-fill = the never-coastal default (the same bytes a
+            # zeros-init would have written — the default is free).
+            sb_b, ws_b, wd_b = css.init_buffers(T, state.windspeed,
+                                                state.winddir)
 
             def scan_fn(carry, x):
                 st, idx, ever, sb_b, ws_b, wd_b = carry
@@ -219,22 +196,14 @@ class TriggerPipeline:
                 else:
                     th, uu, vv = x
                     cdist = cdist0
-                # monotone ever-coastal launch set
-                pred = coastal_tile_pred(
-                    pad_grid(cdist, fill=12000.0), self.params.maxdist,
-                    th_t, tw_t)
-                ever = ever | pred
-                ids = jnp.nonzero(ever, size=n_tiles_total,
-                                  fill_value=0)[0].astype(jnp.int32)
-                n = jnp.sum(ever).astype(jnp.int32)
+                ever, ids, n = css.launch(ever, cdist)
                 st, out_t0, sb_b, ws_b, wd_b = trigger_step_stacked(
                     st, th, uu, vv, cdist, z, std, pres, self.params,
                     self.nn_max, idx, sb_b, ws_b, wd_b, ids, n,
                     pallas_interpret=self.pallas_interpret)
                 return (st, idx + 1, ever, sb_b, ws_b, wd_b), out_t0
 
-            ever0 = jnp.zeros((n_tiles_total,), bool)
-            carry0 = (state, jnp.int32(0), ever0, sb_b, ws_b, wd_b)
+            carry0 = (state, jnp.int32(0), css.ever0(), sb_b, ws_b, wd_b)
             (final, _, _, sb_b, ws_b, wd_b), t0s = jax.lax.scan(
                 scan_fn, carry0, xs)
             outs = {"sb_con": sb_b[:, :nlat, :nlon], "t0": t0s,

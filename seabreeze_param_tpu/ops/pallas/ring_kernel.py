@@ -425,6 +425,70 @@ def coastal_tile_pred(cd_center_padded, maxdist: float, th: int, tw: int):
     return jnp.any(c.reshape(ni, th, nj, tw), axis=(1, 3)).reshape(-1)
 
 
+class CompactStackedScan:
+    """Geometry + buffer/default/launch-set machinery shared by the two
+    compacted-stacked scan call sites (``models.pipeline._make_stacked_scan``
+    single-device, ``parallel.sharded._core_overlap`` per shard).
+
+    Owns the tile grid derived from the (local) field extents, the
+    pre-filled output buffers whose contents ARE the unlaunched-tile
+    semantics (MISSING-masked sb_con, passthrough initial wind — exact
+    because ``take_wind`` requires a coastal cell), and the monotone
+    ever-coastal launch set updated per scan step.
+    """
+
+    def __init__(self, h: int, w: int, nn_max: int, maxdist: float,
+                 skip_last_row: bool):
+        self.h, self.w = int(h), int(w)
+        self.hp_rows, self.wp_cols = stacked_tile_extents(h, w, nn_max)
+        tr, tc = _default_tiles(int(nn_max), None, None)
+        self.th, self.tw = min(tr, self.h), min(tc, self.w)
+        self.n_tiles = (self.hp_rows // self.th) * (self.wp_cols // self.tw)
+        self.maxdist = float(maxdist)
+        self.skip_last_row = bool(skip_last_row)
+
+    def pad_grid(self, a, fill=0.0):
+        """(h, w) -> (hp_rows, wp_cols), constant fill."""
+        return jnp.pad(a, ((0, self.hp_rows - self.h),
+                           (0, self.wp_cols - self.w)),
+                       constant_values=jnp.float32(fill))
+
+    def row_ok(self, row_offset, nlat_total: int):
+        """Valid-output-row column mask over the padded rows (reference
+        nlats-1 quirk + beyond-globe padding rows)."""
+        rows_global = row_offset + jnp.arange(self.hp_rows)
+        last = nlat_total - 1 if self.skip_last_row else nlat_total
+        return (rows_global < last)[:, None]
+
+    def init_buffers(self, T: int, windspeed0, winddir0, *, row_offset=0,
+                     nlat_total: int | None = None):
+        """Pre-filled (T, hp_rows, wp_cols) output buffers (sb, ws, wd)."""
+        nlat_total = self.h if nlat_total is None else nlat_total
+        row_ok = self.row_ok(row_offset, nlat_total)
+        zero = jnp.float32(0.0)
+        shape = (T, self.hp_rows, self.wp_cols)
+        return (jnp.broadcast_to(jnp.where(row_ok, _MISSING, zero), shape),
+                jnp.broadcast_to(
+                    jnp.where(row_ok, self.pad_grid(windspeed0), zero),
+                    shape),
+                jnp.broadcast_to(
+                    jnp.where(row_ok, self.pad_grid(winddir0), zero),
+                    shape))
+
+    def ever0(self):
+        return jnp.zeros((self.n_tiles,), bool)
+
+    def launch(self, ever, cdist):
+        """Grow the monotone ever-coastal set with this step's band and
+        compact it: returns (ever', ids, n)."""
+        pred = coastal_tile_pred(self.pad_grid(cdist, fill=_SENTINEL),
+                                 self.maxdist, self.th, self.tw)
+        ever = ever | pred
+        ids = jnp.nonzero(ever, size=self.n_tiles,
+                          fill_value=0)[0].astype(jnp.int32)
+        return ever, ids, jnp.sum(ever).astype(jnp.int32)
+
+
 def _trigger_kernel_stacked(ids_ref, t_ref, t0_hbm, cd_hbm, cdc_ref,
                             wsn_ref, wdn_ref, wss_ref, wds_ref, sc_ref,
                             sbb_ref, wsb_ref, wdb_ref, out_sb, out_ws,
@@ -628,6 +692,9 @@ def ring_trigger_pallas_stacked(t0_pad, cd_pad, cd_center, ws_new, wd_new,
             raise ValueError(
                 f"{name}: got {buf.shape}, want {(T, hp_rows, wp_cols)} "
                 f"(stacked_tile_extents)")
+    if jnp.asarray(tile_ids).shape != (ni * nj,):
+        raise ValueError(f"tile_ids: got {jnp.asarray(tile_ids).shape}, "
+                         f"want {(ni * nj,)} (CompactStackedScan.n_tiles)")
 
     rows_dma = _round_up(th + 2 * NN, 8)
     cols_dma = _round_up(tw + 2 * NN, 128)

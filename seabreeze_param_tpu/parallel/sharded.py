@@ -279,45 +279,20 @@ class ShardedPipeline:
         # in carried (T, ·, ·) buffers in place, and only the shard's
         # EVER-coastal tiles launch (monotone set; pre-filled passthrough
         # defaults are provably what unlaunched tiles would compute).
-        from ..ops.pallas.ring_kernel import (_default_tiles,
-                                              coastal_tile_pred,
-                                              stacked_tile_extents)
+        from ..ops.pallas.ring_kernel import CompactStackedScan
         from ..ops.trigger import trigger_core_stacked
-        from ..core.params import MISSING_VALUE
 
         T = xs[0].shape[0]
-        hp_rows, wp_cols = stacked_tile_extents(h, w, nn)
-        tr, tc = _default_tiles(nn, None, None)
-        th_t, tw_t = min(tr, h), min(tc, w)
-        n_tiles_total = (hp_rows // th_t) * (wp_cols // tw_t)
-
-        def pad_grid(a, fill=0.0):
-            return jnp.pad(a, ((0, hp_rows - h), (0, wp_cols - w)),
-                           constant_values=jnp.float32(fill))
-
-        rows_global = row_offset + jnp.arange(hp_rows)
-        last = self.nlat_real - 1 if params.skip_last_lat_row \
-            else self.nlat_real
-        row_ok = (rows_global < last)[:, None]
-        zero = jnp.float32(0.0)
-        sb_b = jnp.broadcast_to(jnp.where(row_ok, MISSING_VALUE, zero),
-                                (T, hp_rows, wp_cols))
-        ws_b = jnp.broadcast_to(
-            jnp.where(row_ok, pad_grid(state.windspeed), zero),
-            (T, hp_rows, wp_cols))
-        wd_b = jnp.broadcast_to(
-            jnp.where(row_ok, pad_grid(state.winddir), zero),
-            (T, hp_rows, wp_cols))
+        css = CompactStackedScan(h, w, nn, params.maxdist,
+                                 params.skip_last_lat_row)
+        sb_b, ws_b, wd_b = css.init_buffers(
+            T, state.windspeed, state.winddir, row_offset=row_offset,
+            nlat_total=self.nlat_real)
 
         def scan_stacked(carry, x):
             st, idx, ever, sb_b, ws_b, wd_b = carry
             t0, cdist, ws_new, wd_new, t0_ring, cd_ring = step_fields(x)
-            pred = coastal_tile_pred(pad_grid(cdist, fill=12000.0),
-                                     params.maxdist, th_t, tw_t)
-            ever = ever | pred
-            ids = jnp.nonzero(ever, size=n_tiles_total,
-                              fill_value=0)[0].astype(jnp.int32)
-            ntl = jnp.sum(ever).astype(jnp.int32)
+            ever, ids, ntl = css.launch(ever, cdist)
             st, out_t0, sb_b, ws_b, wd_b = trigger_core_stacked(
                 st, t0, cdist, ws_new, wd_new, t0_ring, cd_ring, params,
                 nn, idx, sb_b, ws_b, wd_b, ids, ntl,
@@ -325,8 +300,7 @@ class ShardedPipeline:
                 pallas_interpret=pipe.pallas_interpret)
             return (st, idx + 1, ever, sb_b, ws_b, wd_b), out_t0
 
-        ever0 = jnp.zeros((n_tiles_total,), bool)
-        carry0 = (state, jnp.int32(0), ever0, sb_b, ws_b, wd_b)
+        carry0 = (state, jnp.int32(0), css.ever0(), sb_b, ws_b, wd_b)
         (final, _, _, sb_b, ws_b, wd_b), t0s = lax.scan(scan_stacked,
                                                         carry0, xs)
         outs = {"sb_con": sb_b[:, :h, :w], "t0": t0s,

@@ -172,8 +172,14 @@ def run(grid_name: str, steps: int, nlev: int, use_pallas: bool,
         def one_pass(carry, _):
             st, chk = carry
             final, outs = runner(st, xs, lsm, z, std, pres, None)
+            # Execution barrier: checksum sb_con + t0 (+ the carried state
+            # via `final`).  The ws/wd output buffers are written by the
+            # SAME pallas call that produces sb_con, so they cannot be
+            # dead-code-eliminated; checksumming them too would only add
+            # ~2 full-buffer HBM reads per step of pure harness overhead
+            # (~0.07 ms/step at 0.1 deg).
             chk = chk + sum(jnp.sum(jnp.where(jnp.abs(o) < 1e19, o, 0.0))
-                            for o in outs.values())
+                            for o in (outs["sb_con"], outs["t0"]))
             return (final, chk), None
 
         (final, chk), _ = jax.lax.scan(one_pass,

@@ -159,27 +159,23 @@ def min_haversine_param_pallas_padded(cpad, sdphi2, po, sdlam2, k: int,
     return out[:h, :w]
 
 
-def _pass2_kernel(ids_ref, n_ref, mn_hbm, mx_hbm, sdphi2_ref, po_ref,
-                  init_ref, out_ref, mn_s, mx_s, sem, *, k: int, th: int,
-                  tw: int, rows_dma: int, nj: int, need_max: bool):
-    """Compacted pass-2 launch: 1-D dynamic grid over the tile list whose
-    strips contain any coast-bearing row-window (``ids_ref``
-    scalar-prefetched; n_ref holds the count for the prefetch guard).
-    Skipped tiles never launch — their output is the aliased BIG pre-fill
-    (``init_ref``, never read).  Double-buffered strip DMA: TPU grid steps
-    run sequentially and scratch persists across them, so each step
-    prefetches the NEXT launched tile's strips into the other slot while
-    computing its own."""
-    del init_ref                 # alias plumbing only
-    g = pl.program_id(0)
+def _pass2_kernel(mn_hbm, mx_hbm, sdphi2_ref, po_ref, out_ref, mn_s, mx_s,
+                  sem, *, k: int, th: int, tw: int, rows_dma: int,
+                  ni: int, nj: int, need_max: bool):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
     nwin = 2 * k + 1
-    slot = jax.lax.rem(g, 2)
-    nxt = jax.lax.rem(g + 1, 2)
+    # Double-buffered strip DMA: TPU grid steps run sequentially and scratch
+    # persists across them, so each step prefetches the NEXT tile's strips
+    # into the other slot while computing its own — the per-tile DMA latency
+    # (the dominant cost of the serial form) overlaps with compute.
+    t = i * nj + j
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
 
-    def start(gg, sl):
-        t = ids_ref[gg]
-        ii = t // nj
-        jj = jax.lax.rem(t, nj)
+    def start(tt, sl):
+        ii = tt // nj
+        jj = jax.lax.rem(tt, nj)
         pltpu.make_async_copy(
             mn_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
             mn_s.at[sl], sem.at[sl, 0]).start()
@@ -188,10 +184,9 @@ def _pass2_kernel(ids_ref, n_ref, mn_hbm, mx_hbm, sdphi2_ref, po_ref,
                 mx_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
                 mx_s.at[sl], sem.at[sl, 1]).start()
 
-    def wait(gg, sl):
-        t = ids_ref[gg]
-        ii = t // nj
-        jj = jax.lax.rem(t, nj)
+    def wait(tt, sl):
+        ii = tt // nj
+        jj = jax.lax.rem(tt, nj)
         pltpu.make_async_copy(
             mn_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
             mn_s.at[sl], sem.at[sl, 0]).wait()
@@ -200,35 +195,43 @@ def _pass2_kernel(ids_ref, n_ref, mn_hbm, mx_hbm, sdphi2_ref, po_ref,
                 mx_hbm.at[pl.ds(ii * th, rows_dma), pl.ds(jj * tw, tw)],
                 mx_s.at[sl], sem.at[sl, 1]).wait()
 
-    @pl.when(g == 0)
+    @pl.when(t == 0)
     def _first():
-        start(g, slot)
+        start(t, slot)
 
-    @pl.when(g + 1 < n_ref[0])
+    @pl.when(t + 1 < ni * nj)
     def _prefetch():
-        start(g + 1, nxt)
+        start(t + 1, nxt)
 
-    wait(g, slot)
+    wait(t, slot)
 
-    amin = jnp.full((th, tw), BIG_PARAM, jnp.float32)
-    for di in range(nwin):
-        lo = mn_s[slot, di:di + th, :]
-        p = po_ref[:, di:di + 1]
-        if need_max:
-            hi = mx_s[slot, di:di + th, :]
-            inner = jnp.minimum(p * lo, p * hi)
-        else:
-            inner = p * lo
-        cand = sdphi2_ref[:, di:di + 1] + inner
-        cand = jnp.where(lo > BIG_PARAM / 2, BIG_PARAM, cand)
-        amin = jnp.minimum(amin, cand)
-    out_ref[:] = amin
+    # Sparsity: every row-window in the strip empty (Mmin == BIG) -> amin
+    # stays BIG everywhere — identical to the dense result, compute skipped.
+    any_src = jnp.any(mn_s[slot] < BIG_PARAM / 2)
+
+    @pl.when(jnp.logical_not(any_src))
+    def _skip():
+        out_ref[:] = jnp.full((th, tw), BIG_PARAM, jnp.float32)
+
+    @pl.when(any_src)
+    def _compute():
+        amin = jnp.full((th, tw), BIG_PARAM, jnp.float32)
+        for di in range(nwin):
+            lo = mn_s[slot, di:di + th, :]
+            p = po_ref[:, di:di + 1]
+            if need_max:
+                hi = mx_s[slot, di:di + th, :]
+                inner = jnp.minimum(p * lo, p * hi)
+            else:
+                inner = p * lo
+            cand = sdphi2_ref[:, di:di + 1] + inner
+            cand = jnp.where(lo > BIG_PARAM / 2, BIG_PARAM, cand)
+            amin = jnp.minimum(amin, cand)
+        out_ref[:] = amin
 
 
-def pass2_min_pallas(Mmin, Mmax, sdphi2, po, k: int, *,
-                     tile_rows: int | None = None,
-                     tile_cols: int | None = None,
-                     interpret: bool = False):
+def pass2_min_pallas(Mmin, Mmax, sdphi2, po, k: int, *, tile_rows: int = 128,
+                     tile_cols: int = 512, interpret: bool = False):
     """Pallas form of the separable min's pass 2 (see ops.distance).
 
     Mmin, Mmax : (h+2k, w) f32 — pass-1 row-window extrema of sdlam2 (BIG /
@@ -244,17 +247,6 @@ def pass2_min_pallas(Mmin, Mmax, sdphi2, po, k: int, *,
     (measured 2.8 ms -> ~0.3 ms at 0.1 deg, k=15).
     """
     k = int(k)
-    if tile_rows is None and tile_cols is None:
-        # default (128, 512) from the r4 v5e sweep (flat 1.697-1.706 ms
-        # across (64-256)x512 at 0.1 deg); SBZ_PASS2_TILES=RxC overrides
-        # for experiments (trace-time read — fresh process per value)
-        import os
-        env = os.environ.get("SBZ_PASS2_TILES")
-        if env:
-            r, c = env.split("x")
-            tile_rows, tile_cols = int(r), int(c)
-    tile_rows = 128 if tile_rows is None else tile_rows
-    tile_cols = 512 if tile_cols is None else tile_cols
     need_max = Mmax is not None
     h = Mmin.shape[0] - 2 * k
     w = Mmin.shape[1]
@@ -284,55 +276,36 @@ def pass2_min_pallas(Mmin, Mmax, sdphi2, po, k: int, *,
     if not need_max:
         Mmax = Mmin       # dummy operand; never DMA'd or read
 
-    # Compacted launch set: tiles whose STRIP (tile + 2k apron rows)
-    # contains any coast-bearing row-window (Mmin < BIG).  Strip-level OR
-    # via one reduce_window over the nonempty mask — skipped tiles never
-    # launch and their output is the aliased BIG pre-fill.
-    Mmin = jnp.asarray(Mmin, jnp.float32)
-    nonempty = Mmin < BIG_PARAM / 2
-    pred = jax.lax.reduce_window(nonempty, False, jax.lax.bitwise_or,
-                                 (rows_dma, tw), (th, tw), "valid")
-    # when no row padding was needed, the valid window count can exceed
-    # the tile grid by one — clip to exactly (ni, nj)
-    pred = pred[:ni, :nj].reshape(-1)
-    ids = jnp.nonzero(pred, size=ni * nj, fill_value=0)[0].astype(jnp.int32)
-    n = jnp.sum(pred).astype(jnp.int32)
-    out_init = jnp.full((hp, wp), BIG_PARAM, jnp.float32)
-
     nwin = 2 * k + 1
-    row_blk = pl.BlockSpec((th, nwin), lambda g, ids, n: (ids[g] // nj, 0),
-                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_pass2_kernel, k=k, th=th, tw=tw,
-                          rows_dma=rows_dma, nj=nj, need_max=need_max),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(n,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),                # Mmin
-                pl.BlockSpec(memory_space=pl.ANY),                # Mmax
-                row_blk,                                          # sdphi2
-                row_blk,                                          # po
-                pl.BlockSpec(memory_space=pl.ANY),                # init
-            ],
-            out_specs=pl.BlockSpec(
-                (th, tw), lambda g, ids, n: (ids[g] // nj, ids[g] % nj),
-                memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, rows_dma, tw), jnp.float32),       # Mmin x2
-                pltpu.VMEM((2, rows_dma, tw), jnp.float32),       # Mmax x2
-                pltpu.SemaphoreType.DMA((2, 2)),
-            ]),
+                          rows_dma=rows_dma, ni=ni, nj=nj,
+                          need_max=need_max),
+        grid=(ni, nj),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                    # Mmin
+            pl.BlockSpec(memory_space=pl.ANY),                    # Mmax
+            pl.BlockSpec((th, nwin), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),                # sdphi2
+            pl.BlockSpec((th, nwin), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),                # po
+        ],
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-        input_output_aliases={6: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_dma, tw), jnp.float32),           # Mmin x2
+            pltpu.VMEM((2, rows_dma, tw), jnp.float32),           # Mmax x2
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=5 * nwin * hp * wp,
             bytes_accessed=8 * (h + 2 * k) * w + 4 * hp * wp,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(ids, jnp.reshape(n, (1,)), Mmin, jnp.asarray(Mmax, jnp.float32),
-      jnp.asarray(sdphi2), jnp.asarray(po), out_init)
+    )(jnp.asarray(Mmin, jnp.float32), jnp.asarray(Mmax, jnp.float32),
+      jnp.asarray(sdphi2), jnp.asarray(po))
     return out[:h, :w]
 
 

@@ -66,14 +66,16 @@ def _cached_pipeline(grid_key, build, *key_extra):
 
 
 def _run_multihost(pipe, mesh, grid_key, pkey, ring_nn, state, t, u, v,
-                   lsm, z, std, pres, ci):
+                   lsm, z, std, pres, ci, *, single=False):
     """Multi-process production path (the reference's decomposed MPI run,
     ``UM/vn10.7/sea_breeze_diag.F90:408-410``): a global ('y','x') mesh over
-    ALL processes' devices, per-process local-row device feeding through
+    ALL processes' devices, per-process local-row feeding through
     :class:`parallel.distributed.DistributedRunner`, and the outputs
     allgathered back so every process returns the reference-contract global
-    fields.  Host inputs here are still the global arrays (each process
-    reads the same files); only device memory is fed locally."""
+    fields.  ``t/u/v/ci`` may be LAZY netCDF variable handles: each process
+    then reads ONLY its local row block from disk (the series is never
+    materialized globally on any host); small static fields (lsm/z/std)
+    arrive as host arrays."""
     import jax
     from .core.state import TriggerState
     from .parallel import distributed as dist
@@ -100,17 +102,26 @@ def _run_multihost(pipe, mesh, grid_key, pkey, ring_nn, state, t, u, v,
     lo = runner.row_lo
     hi = min(runner.row_hi, runner.sp.nlat_real)
 
-    def slab(a):
-        return np.asarray(a)[..., lo:hi, :]
+    def slab(a, lead_t=False):
+        """Local-row block of a (possibly lazy) field; lazy handles read
+        only [lo:hi) rows from disk.  ``lead_t`` adds the T axis for
+        single-timestep (3-D/2-D) inputs."""
+        nd = len(np.shape(a))
+        key = (slice(None),) * (nd - 2) + (slice(lo, hi), slice(None))
+        x = a[key]
+        x = np.asarray(x.filled(0) if hasattr(x, "filled") else x,
+                       np.float32)
+        return x[None] if lead_t and single else x
 
     pres_np = np.asarray(pres, np.float32)
     state_l = TriggerState(tt=state.tt, thc=slab(state.thc),
                            windspeed=slab(state.windspeed),
                            winddir=slab(state.winddir))
     final_l, outs_l = runner.run(
-        state_l, slab(t), slab(u), slab(v), slab(lsm), slab(z), slab(std),
+        state_l, slab(t, lead_t=True), slab(u, lead_t=True),
+        slab(v, lead_t=True), slab(lsm), slab(z), slab(std),
         slab(pres_np) if pres_np.ndim == 3 else pres_np,
-        ci_t=None if ci is None else slab(ci))
+        ci_t=None if ci is None else slab(ci, lead_t=True))
 
     # Gather the per-process local row blocks back to the global grid on
     # every process (the y axis is contiguous by process and every process
@@ -213,32 +224,34 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
                                           use_pallas=use_pallas),
         "base", pkey)
 
-    u = np.asarray(u, np.float32)
-    v = np.asarray(v, np.float32)
-    t = np.asarray(t, np.float32)
-    ci = _fill(ci)
-    single = v.ndim <= 3
-    if single:
-        u, v, t = u[None], v[None], t[None]
-        if ci is not None:
-            ci = ci[None]
+    # u/v/theta/ci may be LAZY netCDF variable handles (io.netcdf.Variable,
+    # the batch driver's meta= path) — keep them lazy through validation
+    # and routing: the multi-host path then reads only each process's
+    # local row block from disk (no host materializes the global series).
+    single = len(tuple(v.shape)) <= 3
+
+    def _tshape(s):
+        return ((1,) + tuple(s)) if single else tuple(s)
+
+    u_sh, v_sh, t_sh = _tshape(u.shape), _tshape(v.shape), _tshape(t.shape)
+    ci_sh = None if ci is None else _tshape(np.shape(ci))
+    T = u_sh[0]
 
     # Shape validation with clear errors (the reference's f2py build used
     # -fbounds-check, setup.py:13; a raw XLA shape error names no field).
     nlat, nlon = len(np.asarray(lat)), len(np.asarray(lon))
     nlev = len(np.asarray(pres))
     problems = []
-    for name, arr, want in (("lsm", np.asarray(lsm), (nlat, nlon)),
-                            ("z", np.asarray(z), (nlat, nlon)),
-                            ("std", np.asarray(std), (nlat, nlon)),
-                            ("u", u, (u.shape[0], nlev, nlat, nlon)),
-                            ("v", v, (u.shape[0], nlev, nlat, nlon)),
-                            ("theta", t, (u.shape[0], nlat, nlon))):
-        if arr.shape != want:
-            problems.append(f"{name}: got {arr.shape}, want {want}")
-    if ci is not None and ci.shape != (u.shape[0], nlat, nlon):
-        problems.append(f"ci: got {ci.shape}, want "
-                        f"{(u.shape[0], nlat, nlon)}")
+    for name, got, want in (("lsm", np.shape(lsm), (nlat, nlon)),
+                            ("z", np.shape(z), (nlat, nlon)),
+                            ("std", np.shape(std), (nlat, nlon)),
+                            ("u", u_sh, (T, nlev, nlat, nlon)),
+                            ("v", v_sh, (T, nlev, nlat, nlon)),
+                            ("theta", t_sh, (T, nlat, nlon))):
+        if tuple(got) != want:
+            problems.append(f"{name}: got {tuple(got)}, want {want}")
+    if ci_sh is not None and ci_sh != (T, nlat, nlon):
+        problems.append(f"ci: got {ci_sh}, want {(T, nlat, nlon)}")
     pres_arr = np.asarray(pres)
     if pres_arr.ndim == 3 and pres_arr.shape != (nlev, nlat, nlon):
         # UM coupling contract: per-column pressure on rho levels
@@ -261,8 +274,9 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
     if ci is None:
         cdist0 = np.asarray(dist_fn(jnp.asarray(lsm, jnp.float32)))
     else:
+        ci0 = _fill(ci if single else ci[0])   # one 2-D read when lazy
         cdist0 = np.asarray(dist_fn(jnp.asarray(lsm, jnp.float32),
-                                    jnp.asarray(ci[0], jnp.float32)))
+                                    jnp.asarray(ci0, jnp.float32)))
     req = required_ring_radius_host(cdist0, params.maxdist,
                                     exact_lon=params.exact_lon_indexing)
     needed = max(pipe.nn_max, req + params.ring_search_margin)
@@ -285,28 +299,42 @@ def diag(tt, lsm, z, std, lon, lat, pres, *args, **kwargs):
         # Multi-process launch: ALWAYS the decomposed multi-host run (a
         # per-process single-device run would compute every step
         # process_count times over).  ``mesh``, when given, fixes the
-        # global mesh shape.
+        # global mesh shape.  u/v/t/ci go in possibly-lazy: each process
+        # reads only its local row block.
         final, outs = _run_multihost(pipe, mesh, grid_key, pkey, ring_nn,
-                                     state, t, u, v, lsm, z, std, pres, ci)
-    elif mesh is not None:
-        from .parallel.mesh import make_mesh
-        from .parallel.sharded import ShardedPipeline
-        if isinstance(mesh, jax.sharding.Mesh):
-            m = mesh
-        elif mesh == "auto":
-            m = make_mesh(None)
-        elif isinstance(mesh, str):
-            m = make_mesh(tuple(int(s) for s in mesh.split("x")))  # "2x4"
-        else:
-            m = make_mesh(tuple(int(s) for s in mesh))
-        sp = _cached_pipeline(
-            grid_key, lambda: ShardedPipeline(pipe, m),
-            "sharded", pkey, ring_nn, m)
-        final, outs = sp.run(state, t, u, v, lsm, z, std, pres, ci_t=ci)
+                                     state, t, u, v, lsm, z, std, pres, ci,
+                                     single=single)
     else:
-        final, outs = pipe.run(state, t, u, v, lsm, z, std, pres, ci_t=ci)
-    nsteps = v.shape[0]
-    ret = (tt + nsteps, outs["sb_con"], np.asarray(final.thc),
+        # single-process: materialize the (full) inputs now
+        u = np.asarray(u[...], np.float32)
+        v = np.asarray(v[...], np.float32)
+        t = np.asarray(t[...], np.float32)
+        ci = _fill(None if ci is None else ci[...])
+        if single:
+            u, v, t = u[None], v[None], t[None]
+            if ci is not None:
+                ci = ci[None]
+        if mesh is not None:
+            from .parallel.mesh import make_mesh
+            from .parallel.sharded import ShardedPipeline
+            if isinstance(mesh, jax.sharding.Mesh):
+                m = mesh
+            elif mesh == "auto":
+                m = make_mesh(None)
+            elif isinstance(mesh, str):
+                m = make_mesh(tuple(int(s)
+                                    for s in mesh.split("x")))  # "2x4"
+            else:
+                m = make_mesh(tuple(int(s) for s in mesh))
+            sp = _cached_pipeline(
+                grid_key, lambda: ShardedPipeline(pipe, m),
+                "sharded", pkey, ring_nn, m)
+            final, outs = sp.run(state, t, u, v, lsm, z, std, pres,
+                                 ci_t=ci)
+        else:
+            final, outs = pipe.run(state, t, u, v, lsm, z, std, pres,
+                                   ci_t=ci)
+    ret = (tt + T, outs["sb_con"], np.asarray(final.thc),
            np.asarray(final.windspeed), np.asarray(final.winddir))
     if full_output:
         # extension over the reference API: the per-step output fields

@@ -522,6 +522,43 @@ def _trigger_kernel_stacked(ids_ref, t_ref, t0_hbm, cd_hbm, cdc_ref,
     j = tile - i * nj
     NN = int(nn_max)
 
+    # Double-buffered strip DMA: grid steps run sequentially and scratch
+    # persists across them, so each step prefetches the NEXT launched
+    # tile's (t0, cd) strips into the other slot while computing its own —
+    # the per-tile DMA latency overlaps with the ring loop.  (The blocked
+    # inputs/outputs are pipelined by Mosaic automatically; only these
+    # manual ANY-memory strip copies need explicit buffering.)
+    slot = jax.lax.rem(g, 2)
+    nxt = jax.lax.rem(g + 1, 2)
+
+    def strip_copies(gg, sl):
+        t = ids_ref[gg]
+        ii = t // nj
+        jj = t - ii * nj
+        return (pltpu.make_async_copy(
+                    t0_hbm.at[pl.ds(ii * th, rows_dma),
+                              pl.ds(jj * tw, cols_dma)],
+                    t0s.at[sl], sem.at[sl, 0]),
+                pltpu.make_async_copy(
+                    cd_hbm.at[pl.ds(ii * th, rows_dma),
+                              pl.ds(jj * tw, cols_dma)],
+                    cds.at[sl], sem.at[sl, 1]))
+
+    @pl.when(g == 0)
+    def _first():
+        for c in strip_copies(g, slot):
+            c.start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _prefetch():
+        for c in strip_copies(g + 1, nxt):
+            c.start()
+
+    # Always drain this tile's strips (even skip tiles: the slot must be
+    # quiescent before a later grid step prefetches into it).
+    for c in strip_copies(g, slot):
+        c.wait()
+
     coastal_c = jnp.abs(cdc_ref[:]) <= jnp.float32(maxdist)
     any_coastal = jnp.any(coastal_c)
 
@@ -584,20 +621,9 @@ def _trigger_kernel_stacked(ids_ref, t_ref, t0_hbm, cd_hbm, cdc_ref,
 
     @pl.when(any_coastal)
     def _compute():
-        t0_dma = pltpu.make_async_copy(
-            t0_hbm.at[pl.ds(i * th, rows_dma), pl.ds(j * tw, cols_dma)],
-            t0s, sem.at[0])
-        cd_dma = pltpu.make_async_copy(
-            cd_hbm.at[pl.ds(i * th, rows_dma), pl.ds(j * tw, cols_dma)],
-            cds, sem.at[1])
-        t0_dma.start()
-        cd_dma.start()
-        t0_dma.wait()
-        cd_dma.wait()
-
-        land = (cds[:] >= 0.0).astype(jnp.float32)
-        tl = t0s[:] * land
-        tss = t0s[:] - tl
+        land = (cds[slot] >= 0.0).astype(jnp.float32)
+        tl = t0s[slot] * land
+        tss = t0s[slot] - tl
         quants = (tl, land, tss)
         for c, q in ((0, tl), (1, land), (2, tss)):
             hp[c] = q[:, NN:NN + tw]
@@ -761,14 +787,14 @@ def ring_trigger_pallas_stacked(t0_pad, cd_pad, cd_center, ws_new, wd_new,
             ],
             out_specs=(stk, stk, stk, blk, blk),
             scratch_shapes=[
-                pltpu.VMEM((rows_dma, cols_dma), jnp.float32),    # t0 strip
-                pltpu.VMEM((rows_dma, cols_dma), jnp.float32),    # cd strip
-                pltpu.VMEM((3, rows_dma, tw), jnp.float32),       # hp
-                pltpu.VMEM((3, th, cols_dma), jnp.float32),       # vc
-                pltpu.VMEM((3, th, tw), jnp.float32),             # ws
-                pltpu.VMEM((5, th, tw), jnp.float32),             # latches
-                pltpu.SMEM((1,), jnp.int32),                      # done flag
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, rows_dma, cols_dma), jnp.float32),  # t0 x2
+                pltpu.VMEM((2, rows_dma, cols_dma), jnp.float32),  # cd x2
+                pltpu.VMEM((3, rows_dma, tw), jnp.float32),        # hp
+                pltpu.VMEM((3, th, cols_dma), jnp.float32),        # vc
+                pltpu.VMEM((3, th, tw), jnp.float32),              # ws
+                pltpu.VMEM((5, th, tw), jnp.float32),              # latches
+                pltpu.SMEM((1,), jnp.int32),                       # done flag
+                pltpu.SemaphoreType.DMA((2, 2)),
             ]),
         out_shape=(buf_shape, buf_shape, buf_shape, out2, out2),
         input_output_aliases={10: 0, 11: 1, 12: 2, 7: 3, 8: 4},

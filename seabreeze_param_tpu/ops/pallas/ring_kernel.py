@@ -79,6 +79,13 @@ def _default_tiles(NN: int, tile_rows, tile_cols):
 def _kernel(t0_hbm, cd_hbm, cdc_ref, out_thc, t0s, cds, hp, vc, ws, lat,
             done, sem, *, nn_max: int, th: int, tw: int, rows_dma: int,
             cols_dma: int, maxdist: float):
+    # NOTE: the dense kernels deliberately do NOT double-buffer their strip
+    # DMAs (unlike the production ``_trigger_kernel_stacked``): here the
+    # coastal-skip branch avoids the strip fetch entirely, and an
+    # unconditional next-tile prefetch would reintroduce ~180 MB/step of
+    # skip-tile strip traffic at 0.1 deg — more than the hidden latency.
+    # The compacted production launch has no skip tiles, so prefetch wins
+    # there.
     i = pl.program_id(0)
     j = pl.program_id(1)
     NN = int(nn_max)
